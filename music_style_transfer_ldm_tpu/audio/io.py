@@ -1,0 +1,74 @@
+"""Host-side audio file I/O (the only part of the DSP chain that stays on CPU).
+
+The reference uses ``librosa.load`` (audioread/soundfile backends) and
+``soundfile.write`` (ref: data/audio_processor.py:27, models/tests.py).  This
+environment has neither, so: WAV is read/written via scipy, anything else
+(mp3/m4a/...) is decoded through an ``ffmpeg`` subprocess when the binary is
+available.  Resampling uses polyphase filtering (scipy.signal.resample_poly),
+the same high-quality approach as librosa's default 'soxr_hq' family.
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+import subprocess
+from pathlib import Path
+
+import numpy as np
+from scipy.io import wavfile
+from scipy.signal import resample_poly
+
+
+def have_ffmpeg() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def _to_float_mono(data: np.ndarray) -> np.ndarray:
+    if data.dtype == np.int16:
+        y = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        y = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        y = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        y = data.astype(np.float32)
+    if y.ndim == 2:  # [T, C] -> mono mix (librosa to_mono semantics)
+        y = y.mean(axis=1)
+    return y
+
+
+def resample(y: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    if orig_sr == target_sr:
+        return y.astype(np.float32)
+    g = math.gcd(orig_sr, target_sr)
+    return resample_poly(y, target_sr // g, orig_sr // g).astype(np.float32)
+
+
+def load_audio(path: str | Path, sr: int = 22050, mono: bool = True
+               ) -> tuple[np.ndarray, int]:
+    """Load an audio file as float32 mono at the target sample rate.
+
+    Drop-in behavioral equivalent of the reference's
+    ``AudioPreprocessor.load_audio`` (ref: data/audio_processor.py:21-28).
+    """
+    path = Path(path)
+    if path.suffix.lower() == ".wav":
+        orig_sr, data = wavfile.read(str(path))
+        y = _to_float_mono(data) if mono else _to_float_mono(data)
+        return resample(y, int(orig_sr), sr), sr
+    if not have_ffmpeg():
+        raise RuntimeError(
+            f"Cannot decode {path.suffix} without ffmpeg; install ffmpeg or "
+            "provide WAV input.")
+    cmd = ["ffmpeg", "-v", "error", "-i", str(path), "-f", "f32le",
+           "-acodec", "pcm_f32le", "-ac", "1", "-ar", str(sr), "-"]
+    out = subprocess.run(cmd, capture_output=True, check=True).stdout
+    return np.frombuffer(out, dtype=np.float32).copy(), sr
+
+
+def write_wav(path: str | Path, y: np.ndarray, sr: int = 22050) -> None:
+    """Write float32 audio to a 16-bit PCM WAV file."""
+    y = np.asarray(y, np.float32)
+    y = np.clip(y, -1.0, 1.0)
+    wavfile.write(str(path), sr, (y * 32767.0).astype(np.int16))

@@ -1,0 +1,175 @@
+"""The composite latent diffusion model and its sampling wrappers.
+
+Re-implements the reference LDM (ref: models/model.py:249-559):
+encoder + decoder + UNet + style encoder + noise schedule, the training
+forward pass, and the two DDIM wrappers (style-conditioned generation and
+SDEdit-style content+style transfer).
+
+Differences from the reference, by design:
+* weight loading is explicit and side-effect-free (training code composes
+  checkpoints; no hidden re-instantiation — the reference re-inits its UNet
+  after loading, model.py:350-352);
+* the samplers are fused ``lax.scan`` trajectories (diffusion/ddim.py)
+  instead of Python loops, so a full 50-step sample is one device program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from music_style_transfer_ldm_tpu.diffusion.ddim import (
+    ddim_sample, generation_time_grid, transfer_time_grid,
+)
+from music_style_transfer_ldm_tpu.diffusion.schedule import DiffusionSchedule
+from music_style_transfer_ldm_tpu.models.autoencoder import (
+    SpectrogramDecoder, SpectrogramEncoder,
+)
+from music_style_transfer_ldm_tpu.models.style_encoder import StyleEncoder
+from music_style_transfer_ldm_tpu.models.unet import UNet
+
+Dtype = Any
+
+
+class LDM(nn.Module):
+    """Composite model (ref: model.py:249-379)."""
+
+    latent_dim: int = 32
+    num_timesteps: int = 200
+    beta_start: float = 1e-4
+    beta_end: float = 0.02
+    unet_num_filters: int = 64
+    style_num_filters: int = 64
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        dt, pt = self.dtype, self.param_dtype
+        self.encoder = SpectrogramEncoder(self.latent_dim, dtype=dt,
+                                          param_dtype=pt)
+        self.decoder = SpectrogramDecoder(self.latent_dim, dtype=dt,
+                                          param_dtype=pt)
+        self.unet = UNet(in_channels=self.latent_dim,
+                         out_channels=self.latent_dim,
+                         num_filters=self.unet_num_filters, dtype=dt,
+                         param_dtype=pt)
+        self.style_encoder = StyleEncoder(self.style_num_filters, dtype=dt,
+                                          param_dtype=pt)
+
+    @property
+    def schedule(self) -> DiffusionSchedule:
+        # Rebuilt from static config; XLA constant-folds the tables.
+        return DiffusionSchedule.create(self.num_timesteps, self.beta_start,
+                                        self.beta_end)
+
+    # ---- component entry points (usable via nn.apply method=...) --------
+
+    def encode(self, x: jax.Array, train: bool = False) -> jax.Array:
+        return self.encoder(x, train=train)
+
+    def decode(self, z: jax.Array, train: bool = False) -> jax.Array:
+        return self.decoder(z, train=train)
+
+    def style_embed(self, style: jax.Array) -> Dict[str, jax.Array]:
+        return self.style_encoder(style)
+
+    def denoise(self, z_t: jax.Array, t: jax.Array,
+                style_embedding: Dict[str, jax.Array]) -> jax.Array:
+        return self.unet(z_t, t, style_embedding)
+
+    # ---- training forward (ref: model.py:355-379) ------------------------
+
+    def __call__(self, x: jax.Array, style: jax.Array, t: jax.Array,
+                 train: bool = False) -> Dict[str, jax.Array]:
+        """Returns {z_t, noise, noise_pred, z_0, reconstructed}.
+
+        Noise is drawn from the 'diffusion' RNG stream.
+        """
+        sched = self.schedule
+        x = x.astype(jnp.float32)
+        style = style.astype(jnp.float32)
+
+        z_0 = self.encoder(x, train=train)
+        style_embedding = self.style_encoder(style)
+        key = self.make_rng("diffusion")
+        z_t, noise = sched.q_sample(key, z_0.astype(jnp.float32), t)
+        noise_pred = self.unet(z_t, t, style_embedding)
+        z_0_pred = sched.predict_start_from_noise(
+            z_t, t, noise_pred.astype(jnp.float32))
+        reconstructed = self.decoder(z_0_pred, train=train)
+        reconstructed = (reconstructed.astype(jnp.float32) + 1.0) / 2.0
+        return {
+            "z_t": z_t,
+            "noise": noise,
+            "noise_pred": noise_pred,
+            "z_0": z_0,
+            "reconstructed": reconstructed,
+        }
+
+
+# ---------------- sampling wrappers (pure functions over variables) -------
+
+
+def _denoise_fn(model: LDM, variables, style_embedding):
+    def fn(x, t):
+        return model.apply(variables, x, t, style_embedding,
+                           method=LDM.denoise).astype(jnp.float32)
+    return fn
+
+
+def style_ddim_sample(model: LDM, variables, key: jax.Array,
+                      z_shape: Tuple[int, ...], style_spec: jax.Array,
+                      timesteps: int = 100, eta: float = 0.0,
+                      return_logs: bool = False
+                      ) -> Tuple[jax.Array, Optional[dict]]:
+    """Style-conditioned generation from pure noise
+    (ref: model.py:382-407 style_ddim_sample_wrapper).
+
+    Returns decoded spectrogram images in [0, 1] (NHWC).
+    """
+    sched = model.schedule
+    z_t = jax.random.normal(key, z_shape, jnp.float32)
+    style_embedding = model.apply(variables, style_spec,
+                                  method=LDM.style_embed)
+    times = generation_time_grid(model.num_timesteps, timesteps)
+    sampled, logs = ddim_sample(_denoise_fn(model, variables, style_embedding),
+                                sched, z_t, times, eta=eta,
+                                return_logs=return_logs)
+    decoded = model.apply(variables, sampled, method=LDM.decode)
+    decoded = (decoded.astype(jnp.float32) + 1.0) / 2.0
+    return decoded, logs
+
+
+def content_style_transfer(model: LDM, variables, key: jax.Array,
+                           content_spec: jax.Array, style_spec: jax.Array,
+                           num_timesteps: int = 100, eta: float = 0.0,
+                           return_logs: bool = False
+                           ) -> Tuple[jax.Array, jax.Array, Optional[dict]]:
+    """SDEdit-style content+style transfer — the product path
+    (ref: model.py:468-501 content_style_transfer_wrapper).
+
+    Encodes content, partially noises it to t = num_timesteps - 1, then
+    denoises over a unit-step grid conditioned on the style embedding.
+    Returns (decoded, z_t_decoded, logs); decoded images are in [0, 1].
+    """
+    sched = model.schedule
+    z_0 = model.apply(variables, content_spec.astype(jnp.float32),
+                      method=LDM.encode)
+    batch = content_spec.shape[0]
+    t = jnp.full((batch,), num_timesteps - 1, jnp.int32)
+    z_t, _ = sched.q_sample(key, z_0.astype(jnp.float32), t)
+
+    style_embedding = model.apply(variables, style_spec.astype(jnp.float32),
+                                  method=LDM.style_embed)
+    times = transfer_time_grid(num_timesteps)
+    sampled, logs = ddim_sample(_denoise_fn(model, variables, style_embedding),
+                                sched, z_t, times, eta=eta,
+                                return_logs=return_logs)
+
+    decoded = model.apply(variables, sampled, method=LDM.decode)
+    decoded = (decoded.astype(jnp.float32) + 1.0) / 2.0
+    z_t_decoded = model.apply(variables, z_t, method=LDM.decode)
+    return decoded, z_t_decoded, logs
