@@ -1,0 +1,9 @@
+"""Input pipeline (ref: models/dataset.py), host-side numpy -> sharded HBM."""
+
+from music_style_transfer_ldm_tpu.datasets.folder import (  # noqa: F401
+    SpectrogramDataset, SpectrogramPairDataset, generate_pairings,
+    list_image_folder, load_image_unit,
+)
+from music_style_transfer_ldm_tpu.datasets.loader import (  # noqa: F401
+    BatchLoader, train_test_split,
+)

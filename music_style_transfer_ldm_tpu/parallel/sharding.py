@@ -1,0 +1,86 @@
+"""Parameter/batch sharding rules (dp + tp).
+
+Tensor-parallel rule: any parameter whose trailing (output-channel) axis is
+wide enough to split evenly over the 'model' mesh axis is sharded there —
+conv kernels [h, w, cin, cout] and dense kernels [in, out] split on cout;
+matching biases split too.  Everything else is replicated.  XLA then emits
+the all-gathers/reduce-scatters over ICI; no hand-written collectives.
+
+With mesh (N, 1) this degrades to pure data parallelism; with (1, N) to
+pure tensor parallelism; (n, m) composes both.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from music_style_transfer_ldm_tpu.parallel.mesh import (
+    DATA_AXIS, MODEL_AXIS, batch_sharding,
+)
+
+_MIN_SHARD_WIDTH = 128  # don't split narrow layers; collective cost dominates
+
+
+def param_partition_spec(path: tuple, value: Any, mesh: Mesh) -> P:
+    """PartitionSpec for one parameter, keyed by its pytree path + shape."""
+    model_size = mesh.shape[MODEL_AXIS]
+    if model_size <= 1:
+        return P()
+    shape = value.shape
+    if len(shape) == 0:
+        return P()
+    cout = shape[-1]
+    if cout % model_size == 0 and cout >= _MIN_SHARD_WIDTH:
+        return P(*([None] * (len(shape) - 1)), MODEL_AXIS)
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put every param with its partition spec."""
+    def place(path, x):
+        spec = param_partition_spec(path, x, mesh)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def param_sharding_tree(params, mesh: Mesh):
+    """Matching tree of NamedShardings (for jit in_shardings/out_shardings)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: NamedSharding(mesh, param_partition_spec(path, x, mesh)),
+        params)
+
+
+def pad_batch_to_multiple(x, multiple: int):
+    """Pad the leading dim up to a multiple by repeating the final row.
+
+    Partial trailing batches can't split over the 'data' axis; repeating
+    rows keeps shapes static for jit (each distinct batch size still
+    compiles once) while only slightly re-weighting the final batch's mean
+    loss.
+    """
+    import jax.numpy as jnp
+    n = x.shape[0]
+    rem = n % multiple
+    if rem == 0:
+        return x
+    pad = multiple - rem
+    filler = jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])
+    return jnp.concatenate([x, filler], axis=0)
+
+
+def shard_batch(batch, mesh: Mesh, pad: bool = True):
+    """Shard array leaves over the 'data' axis on their leading dim.
+
+    pad=True repeats trailing rows so every leading dim divides the data
+    axis (see pad_batch_to_multiple).
+    """
+    n_data = mesh.shape[DATA_AXIS]
+
+    def place(x):
+        if pad and x.shape[0] % n_data:
+            x = pad_batch_to_multiple(x, n_data)
+        return jax.device_put(x, batch_sharding(mesh, ndim=x.ndim))
+    return jax.tree_util.tree_map(place, batch)

@@ -1,0 +1,77 @@
+"""Orbax checkpointing.
+
+Improves on the reference, which torch.saves weights only (no optimizer
+state, no resume; ref: models/train.py:111-114,270-272): here full train
+state (params + BN stats + optimizer state + step) is saved, plus
+component-wise autoencoder checkpoints so phase 2 can load-and-freeze the
+pretrained encoder/decoder exactly like the reference's
+encoder.pth/decoder.pth path (ref: models/model.py:325-347).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from music_style_transfer_ldm_tpu.training.state import TrainState
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save_pytree(path: str | Path, tree: Any) -> None:
+    path = Path(path).absolute()
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, _to_host(tree), force=True)
+
+
+def restore_pytree(path: str | Path, target: Optional[Any] = None) -> Any:
+    path = Path(path).absolute()
+    ckptr = ocp.PyTreeCheckpointer()
+    if target is not None:
+        return ckptr.restore(path, item=_to_host(target))
+    return ckptr.restore(path)
+
+
+# ---------------- autoencoder components (phase-1 -> phase-2 handoff) -----
+
+
+def save_autoencoder(path: str | Path, state: TrainState) -> None:
+    """Persist encoder+decoder params and BN stats (the phase-2 inputs)."""
+    save_pytree(path, {"params": state.params,
+                       "batch_stats": state.batch_stats})
+
+
+def load_autoencoder(path: str | Path) -> dict:
+    """-> {'params': {'encoder':…, 'decoder':…},
+           'batch_stats': {'encoder':…, 'decoder':…}}"""
+    return restore_pytree(path)
+
+
+# ---------------- full train-state checkpoints ----------------------------
+
+
+def save_train_state(path: str | Path, state: TrainState,
+                     extra: Optional[dict] = None) -> None:
+    payload = {"params": state.params, "batch_stats": state.batch_stats,
+               "opt_state": state.opt_state,
+               "step": np.asarray(state.step)}
+    if extra:
+        payload["extra"] = extra
+    save_pytree(path, payload)
+
+
+def restore_train_state(path: str | Path,
+                        template: TrainState) -> TrainState:
+    payload = restore_pytree(path, {
+        "params": template.params, "batch_stats": template.batch_stats,
+        "opt_state": template.opt_state, "step": np.asarray(template.step)})
+    return TrainState(params=payload["params"],
+                      batch_stats=payload["batch_stats"],
+                      opt_state=payload["opt_state"],
+                      step=jax.numpy.asarray(payload["step"]))

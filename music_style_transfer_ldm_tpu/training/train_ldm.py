@@ -1,0 +1,218 @@
+"""Phase 2: latent diffusion training (ref: models/train.py:141-316).
+
+One jitted, donated device program per step: timestep sampling, q-sample,
+UNet forward, all three losses, backward, Adam update, BN stat update.
+The encoder is frozen (gradients zeroed via optax.multi_transform and BN
+kept in eval mode), the decoder continues training — exactly the
+reference's requires_grad/eval split (ref: models/model.py:340-347).
+
+Mixed precision: model compute in bfloat16 (config.train.compute_dtype),
+params and loss math in float32 — the TPU-native counterpart of the
+reference's CUDA AMP + GradScaler (ref: train.py:157,174; bf16 needs no
+loss scaling).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_style_transfer_ldm_tpu.losses.basic import (
+    compression_loss, diffusion_loss, style_loss,
+)
+from music_style_transfer_ldm_tpu.losses.vggish import (
+    VGGishFeatures, vggish_feature_distance,
+)
+from music_style_transfer_ldm_tpu.models.ldm import LDM
+from music_style_transfer_ldm_tpu.parallel.mesh import make_mesh
+from music_style_transfer_ldm_tpu.parallel.sharding import (
+    shard_batch, shard_params,
+)
+from music_style_transfer_ldm_tpu.training import checkpoint as ckpt_lib
+from music_style_transfer_ldm_tpu.training.metrics import MetricLogger
+from music_style_transfer_ldm_tpu.training.optim import (
+    make_optimizer, plateau_init, plateau_update, set_learning_rate,
+)
+from music_style_transfer_ldm_tpu.training.state import TrainState
+
+
+def _freeze_encoder_mask(params):
+    """True (frozen) for every leaf under params['encoder']."""
+    return {k: jax.tree_util.tree_map(lambda _: k == "encoder", v)
+            for k, v in params.items()}
+
+
+class LDMTrainer:
+    """ref: models/train.py:141 LDMTrainer."""
+
+    def __init__(self, config, mesh=None, vggish_params=None,
+                 perceptual: bool = True):
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh(
+            config.mesh.mesh_shape)
+        cm, cd, ct = config.model, config.diffusion, config.train
+        compute_dtype = jnp.dtype(ct.compute_dtype)
+        self.model = LDM(latent_dim=cm.latent_dim,
+                         num_timesteps=cd.num_timesteps,
+                         beta_start=cd.beta_start, beta_end=cd.beta_end,
+                         unet_num_filters=cm.unet_num_filters,
+                         style_num_filters=cm.style_num_filters,
+                         dtype=compute_dtype)
+        self.vggish = VGGishFeatures(dtype=compute_dtype) if perceptual \
+            else None
+        self._vggish_params = vggish_params
+        self.style_loss_weight = ct.style_loss_weight
+        self.perceptual_weight = ct.perceptual_weight
+        self.kl_weight = ct.kl_weight
+
+        self.tx = make_optimizer("adam", learning_rate=ct.learning_rate,
+                                 freeze_mask=_freeze_encoder_mask)
+        self.plateau = plateau_init(ct.learning_rate, factor=0.5,
+                                    patience=ct.ldm_lr_patience,
+                                    min_lr=ct.lr_min)
+        self._train_step = jax.jit(self._step, donate_argnums=(0,))
+
+    # ---------------- state -------------------------------------------------
+
+    def init_state(self, seed: int = 0,
+                   pretrained_autoencoder: Optional[dict] = None
+                   ) -> TrainState:
+        """Initialize; optionally transplant phase-1 encoder/decoder weights
+        (the reference's load-encoder/decoder-then-freeze path,
+        ref: model.py:325-347)."""
+        cm = self.config.model
+        x = jnp.zeros((1, cm.image_size, cm.image_size, cm.in_channels))
+        t = jnp.zeros((1,), jnp.int32)
+        variables = self.model.init(
+            {"params": jax.random.PRNGKey(seed),
+             "diffusion": jax.random.PRNGKey(seed + 1)}, x, x, t)
+        params = dict(variables["params"])
+        batch_stats = dict(variables.get("batch_stats", {}))
+
+        if pretrained_autoencoder is not None:
+            ae_p = pretrained_autoencoder["params"]
+            ae_s = pretrained_autoencoder["batch_stats"]
+            params["encoder"] = jax.tree_util.tree_map(
+                jnp.asarray, ae_p["encoder"])
+            params["decoder"] = jax.tree_util.tree_map(
+                jnp.asarray, ae_p["decoder"])
+            batch_stats["encoder"] = jax.tree_util.tree_map(
+                jnp.asarray, ae_s["encoder"])
+            batch_stats["decoder"] = jax.tree_util.tree_map(
+                jnp.asarray, ae_s["decoder"])
+
+        if self.vggish is not None and self._vggish_params is None:
+            self._vggish_params = self.vggish.init(
+                jax.random.PRNGKey(seed + 2), x)["params"]
+
+        params = shard_params(params, self.mesh)
+        batch_stats = shard_params(batch_stats, self.mesh)
+        opt_state = self.tx.init(params)
+        return TrainState(params=params, batch_stats=batch_stats,
+                          opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+    # ---------------- jitted step -------------------------------------------
+
+    def _losses(self, params, batch_stats, content, style, t, drng,
+                vggish_params):
+        out, updates = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            content, style, t, train=True, frozen_encoder=True,
+            rngs={"diffusion": drng}, mutable=["batch_stats"])
+
+        feature_loss = None
+        if self.vggish is not None:
+            feature_loss = lambda a, b: vggish_feature_distance(
+                self.vggish, vggish_params, a, b)
+
+        denoising = diffusion_loss(out["noise_pred"], out["noise"])
+        compression = compression_loss(content, out["reconstructed"],
+                                       out["z_0"], feature_loss,
+                                       self.perceptual_weight, self.kl_weight)
+        if feature_loss is not None:
+            style_l = style_loss(out["reconstructed"], style, feature_loss)
+        else:
+            style_l = jnp.float32(0.0)
+        total = (compression + denoising
+                 + self.style_loss_weight * style_l)  # ref: train.py:186
+        metrics = {"total_loss": total, "compression_loss": compression,
+                   "denoising_loss": denoising, "style_loss": style_l}
+        return total, (metrics, updates["batch_stats"])
+
+    def _step(self, state: TrainState, content, style, key, vggish_params):
+        tkey, dkey = jax.random.split(key)
+        batch = content.shape[0]
+        # t ~ Uniform{0..T-1} per element (ref: train.py:172).
+        t = jax.random.randint(tkey, (batch,), 0,
+                               self.config.diffusion.num_timesteps)
+
+        def loss_fn(params):
+            return self._losses(params, state.batch_stats, content, style, t,
+                                dkey, vggish_params)
+
+        (_, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,
+                                        updates)
+        new_state = TrainState(params=params, batch_stats=new_stats,
+                               opt_state=opt_state, step=state.step + 1)
+        return new_state, metrics
+
+    # ---------------- epoch driver ------------------------------------------
+
+    def train_epoch(self, state: TrainState, loader, epoch: int,
+                    base_key) -> tuple:
+        sums = {}
+        n = 0
+        for i, ((content, _), (style, _)) in enumerate(loader):
+            content = shard_batch(jnp.asarray(content), self.mesh)
+            style = shard_batch(jnp.asarray(style), self.mesh)
+            key = jax.random.fold_in(base_key, epoch * 100000 + i)
+            state, metrics = self._train_step(state, content, style, key,
+                                              self._vggish_params)
+            n += 1
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        avgs = {k: v / max(n, 1) for k, v in sums.items()}
+        return state, avgs
+
+    def train(self, train_loader, num_epochs: Optional[int] = None,
+              state: Optional[TrainState] = None,
+              pretrained_autoencoder: Optional[dict] = None,
+              out_dir: str | Path = "runs/ldm") -> TrainState:
+        """Full loop (ref: train.py:246-293): plateau LR on train loss,
+        checkpoints + linear/log plots every config ckpt interval."""
+        cfg = self.config.train
+        num_epochs = num_epochs or cfg.num_epochs
+        out_dir = Path(out_dir)
+        logger = MetricLogger(out_dir / "metrics.csv")
+        if state is None:
+            state = self.init_state(cfg.seed, pretrained_autoencoder)
+        base_key = jax.random.PRNGKey(cfg.seed + 123)
+
+        for epoch in range(num_epochs):
+            t0 = time.time()
+            state, avgs = self.train_epoch(state, train_loader, epoch,
+                                           base_key)
+            self.plateau = plateau_update(self.plateau, avgs["total_loss"])
+            state = state.replace(opt_state=set_learning_rate(
+                state.opt_state, self.plateau.lr))
+            logger.log(epoch=epoch, lr=self.plateau.lr,
+                       seconds=time.time() - t0, **avgs)
+
+            if epoch % cfg.ckpt_every_epochs == 0:
+                ckpt_lib.save_train_state(out_dir / f"ldm_{epoch}", state)
+                keys = ["total_loss", "compression_loss", "denoising_loss",
+                        "style_loss"]
+                logger.plot(out_dir / f"ldm_loss_{epoch}.png", keys)
+                logger.plot(out_dir / f"ldm_loss_log_{epoch}.png", keys,
+                            logscale=True)
+        ckpt_lib.save_train_state(out_dir / "ldm_final", state)
+        return state

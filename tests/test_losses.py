@@ -1,0 +1,99 @@
+"""Loss function tests (ref: models/loss.py semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_style_transfer_ldm_tpu.losses import (
+    VGGishFeatureLoss, compression_loss, diffusion_loss, gram_matrix,
+    kl_regularization_loss, style_loss,
+)
+from music_style_transfer_ldm_tpu.losses.vggish import (
+    VGGishFeatures, convert_torchvggish_state_dict,
+)
+
+
+def test_kl_regularization_matches_reference_formula(rng):
+    z = rng.randn(2, 4, 4, 8).astype(np.float32)
+    got = float(kl_regularization_loss(jnp.asarray(z)))
+    want = np.mean(0.5 * (z**2 - 1 - np.log(z**2 + 1e-8)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_kl_minimized_at_unit_variance():
+    # KL penalty should be ~0 for |z|=1 and positive elsewhere.
+    ones = jnp.ones((4, 4))
+    assert abs(float(kl_regularization_loss(ones))) < 1e-6
+    assert float(kl_regularization_loss(3 * ones)) > 1.0
+
+
+def test_diffusion_loss_is_mse(rng):
+    a = rng.randn(2, 8, 8, 4).astype(np.float32)
+    b = rng.randn(2, 8, 8, 4).astype(np.float32)
+    got = float(diffusion_loss(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, np.mean((a - b) ** 2), rtol=1e-5)
+
+
+def test_vggish_loss_zero_for_identical_and_positive_otherwise(rng):
+    loss_net = VGGishFeatureLoss(seed=0)
+    x = jnp.asarray(rng.rand(2, 128, 128, 1).astype(np.float32))
+    y = jnp.asarray(rng.rand(2, 128, 128, 1).astype(np.float32))
+    assert float(loss_net(x, x)) < 1e-10
+    assert float(loss_net(x, y)) > 0.0
+
+
+def test_vggish_gradient_flows_to_inputs_not_params(rng):
+    loss_net = VGGishFeatureLoss(seed=0)
+    x = jnp.asarray(rng.rand(1, 128, 128, 1).astype(np.float32))
+    y = jnp.asarray(rng.rand(1, 128, 128, 1).astype(np.float32))
+    g = jax.grad(lambda a: loss_net(a, y))(x)
+    assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_compression_loss_composition(rng):
+    x = jnp.asarray(rng.rand(2, 128, 128, 1).astype(np.float32))
+    r = jnp.asarray(rng.rand(2, 128, 128, 1).astype(np.float32))
+    z = jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32))
+    base = float(compression_loss(x, r, z, None))
+    want = (np.mean((np.asarray(r) - np.asarray(x)) ** 2)
+            + 0.01 * float(kl_regularization_loss(z)))
+    np.testing.assert_allclose(base, want, rtol=1e-5)
+    # With a perceptual term it must increase for distinct inputs.
+    loss_net = VGGishFeatureLoss(seed=0)
+    full = float(compression_loss(x, r, z, loss_net))
+    assert full > base
+
+
+def test_style_loss_delegates(rng):
+    loss_net = VGGishFeatureLoss(seed=0)
+    x = jnp.asarray(rng.rand(1, 128, 128, 1).astype(np.float32))
+    s = jnp.asarray(rng.rand(1, 128, 128, 1).astype(np.float32))
+    assert float(style_loss(x, s, loss_net)) == float(loss_net(x, s))
+
+
+def test_gram_matrix_shape_and_symmetry(rng):
+    f = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+    g = np.asarray(gram_matrix(f))
+    assert g.shape == (2, 16, 16)
+    np.testing.assert_allclose(g, np.swapaxes(g, 1, 2), rtol=1e-5)
+
+
+def test_torchvggish_weight_conversion_shapes(rng):
+    # Fabricate a torch-layout state dict and check the transplant.
+    chans = [(1, 64, 0), (64, 128, 3), (128, 256, 6), (256, 256, 8),
+             (256, 512, 11), (512, 512, 13)]
+    sd = {}
+    for cin, cout, idx in chans:
+        sd[f"features.{idx}.weight"] = rng.randn(cout, cin, 3, 3).astype(
+            np.float32)
+        sd[f"features.{idx}.bias"] = rng.randn(cout).astype(np.float32)
+    params = convert_torchvggish_state_dict(sd)
+    mod = VGGishFeatures()
+    ref = mod.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 128, 128, 1)))["params"]
+    got_shapes = jax.tree_util.tree_map(lambda x: x.shape, params)
+    ref_shapes = jax.tree_util.tree_map(lambda x: x.shape, ref)
+    assert got_shapes == ref_shapes
+    # And the converted params actually run.
+    feats = mod.apply({"params": params}, jnp.zeros((1, 128, 128, 1)))
+    assert len(feats) == 6
