@@ -1,0 +1,267 @@
+"""Command-line interface.
+
+Replaces the reference's argparse entry (`python models/train.py --model
+{autoencoder,ldm}`, ref: models/train.py:318-329) and its script-style
+workflows with proper subcommands:
+
+  python -m music_style_transfer_ldm_tpu.cli download --csv urls.csv
+  python -m music_style_transfer_ldm_tpu.cli build-dataset
+  python -m music_style_transfer_ldm_tpu.cli generate-pairings
+  python -m music_style_transfer_ldm_tpu.cli train --model autoencoder
+  python -m music_style_transfer_ldm_tpu.cli train --model ldm
+  python -m music_style_transfer_ldm_tpu.cli generate --style s.png
+  python -m music_style_transfer_ldm_tpu.cli transfer --content c.wav --style s.png
+  python -m music_style_transfer_ldm_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_image_or_audio(path: str, ap, n_mels: int = 128) -> np.ndarray:
+    """PNG spectrogram or audio file -> [1, 128, 128, 1] float image."""
+    p = Path(path)
+    if p.suffix.lower() in (".png", ".jpg", ".jpeg", ".bmp"):
+        from music_style_transfer_ldm_tpu.datasets.folder import (
+            load_image_unit,
+        )
+        return load_image_unit(p)[None]
+    audio, sr = ap.load_audio(p)
+    audio = ap.trim_silence(audio)
+    chunk = int(3 * sr)
+    piece = np.zeros(chunk, np.float32)
+    piece[:min(len(audio), chunk)] = audio[:chunk]
+    img = np.asarray(ap.waveform_batch_to_unit_images(piece[None],
+                                                      n_mels=n_mels))
+    return img[:, :, :128, None].astype(np.float32)
+
+
+def cmd_download(args) -> int:
+    from music_style_transfer_ldm_tpu.data.downloader import AudioDownloader
+    dl = AudioDownloader(output_dir=args.output_dir)
+    if args.csv:
+        dl.download_from_csv(args.csv)
+    elif args.file:
+        dl.download_from_file(args.file)
+    elif args.url:
+        dl.download_audio(args.url, instrument=args.instrument or "")
+        dl.report_failures()
+    else:
+        print("one of --csv/--file/--url is required", file=sys.stderr)
+        return 2
+    return 0
+
+
+def cmd_build_dataset(args) -> int:
+    from music_style_transfer_ldm_tpu.data.build_dataset import (
+        build_dataset_df, build_dataset_folder_structure,
+    )
+    if args.parquet:
+        df = build_dataset_df(args.audio_dir, save_path=args.parquet)
+        print(f"wrote {len(df)} rows to {args.parquet}")
+    else:
+        n = build_dataset_folder_structure(
+            args.audio_dir, args.output_root, chunk_size_sec=args.chunk_sec,
+            max_duration=args.max_duration, n_mels=args.n_mels)
+        print(f"wrote {n} images under {args.output_root}")
+    return 0
+
+
+def cmd_generate_pairings(args) -> int:
+    from music_style_transfer_ldm_tpu.datasets.folder import generate_pairings
+    generate_pairings(args.root, args.output, num_pairs=args.num_pairs,
+                      seed=args.seed)
+    print(f"pairings saved to {args.output}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from music_style_transfer_ldm_tpu.config import default_config
+    from music_style_transfer_ldm_tpu.datasets import (
+        BatchLoader, SpectrogramDataset, SpectrogramPairDataset,
+        train_test_split,
+    )
+    from music_style_transfer_ldm_tpu.training import AETrainer, LDMTrainer
+    from music_style_transfer_ldm_tpu.training import checkpoint as ckpt_lib
+
+    cfg = default_config()
+    if args.epochs:
+        import dataclasses
+        cfg.train = dataclasses.replace(cfg.train, num_epochs=args.epochs)
+    root = args.data_root or cfg.data.processed_dir
+
+    if args.model == "autoencoder":
+        ds = SpectrogramDataset(root)
+        tr_idx, te_idx = train_test_split(len(ds), cfg.train.train_split,
+                                          seed=cfg.train.seed)
+        train_loader = BatchLoader(ds, cfg.train.batch_size, indices=tr_idx,
+                                   shuffle=True, seed=cfg.train.seed)
+        val_loader = BatchLoader(ds, cfg.train.batch_size, indices=te_idx,
+                                 shuffle=False)
+        trainer = AETrainer(cfg)
+        trainer.train(train_loader, val_loader, out_dir=args.out_dir)
+    else:
+        pair_file = args.pairing_file or cfg.data.pairing_file
+        pair_ds = SpectrogramPairDataset(root, pair_file)
+        loader = BatchLoader(pair_ds, cfg.train.batch_size, shuffle=True,
+                             seed=cfg.train.seed)
+        trainer = LDMTrainer(cfg)
+        pre = None
+        if args.pretrained_ae:
+            pre = ckpt_lib.load_autoencoder(args.pretrained_ae)
+        trainer.train(loader, pretrained_autoencoder=pre,
+                      out_dir=args.out_dir)
+    return 0
+
+
+def _restore_ldm(cfg, ckpt_path: str):
+    import jax.numpy as jnp
+    from music_style_transfer_ldm_tpu.models.ldm import LDM
+    from music_style_transfer_ldm_tpu.training import checkpoint as ckpt_lib
+
+    model = LDM(latent_dim=cfg.model.latent_dim,
+                num_timesteps=cfg.diffusion.num_timesteps,
+                dtype=jnp.bfloat16)
+    payload = ckpt_lib.restore_pytree(ckpt_path)
+    variables = {"params": payload["params"],
+                 "batch_stats": payload["batch_stats"]}
+    return model, variables
+
+
+def cmd_generate(args) -> int:
+    """Style-conditioned generation from noise (ref: tests.py:782-876)."""
+    import jax
+    from PIL import Image
+    from music_style_transfer_ldm_tpu.audio.processor import AudioProcessor
+    from music_style_transfer_ldm_tpu.config import default_config
+    from music_style_transfer_ldm_tpu.models.ldm import style_ddim_sample
+
+    cfg = default_config()
+    ap = AudioProcessor()
+    model, variables = _restore_ldm(cfg, args.checkpoint)
+    style = _load_image_or_audio(args.style, ap)
+    lat = cfg.model.image_size // 8
+    decoded, _ = style_ddim_sample(
+        model, variables, jax.random.PRNGKey(args.seed),
+        (1, lat, lat, cfg.model.latent_dim), style,
+        timesteps=args.steps, eta=args.eta)
+    _save_outputs(np.asarray(decoded[0, :, :, 0]), args.output, ap)
+    return 0
+
+
+def cmd_transfer(args) -> int:
+    """Content+style transfer — the product path (ref: tests.py:1043-1132)."""
+    import jax
+    from music_style_transfer_ldm_tpu.audio.processor import AudioProcessor
+    from music_style_transfer_ldm_tpu.config import default_config
+    from music_style_transfer_ldm_tpu.models.ldm import content_style_transfer
+
+    cfg = default_config()
+    ap = AudioProcessor()
+    model, variables = _restore_ldm(cfg, args.checkpoint)
+    content = _load_image_or_audio(args.content, ap)
+    style = _load_image_or_audio(args.style, ap)
+    decoded, _, _ = content_style_transfer(
+        model, variables, jax.random.PRNGKey(args.seed),
+        content, style, num_timesteps=args.steps, eta=args.eta)
+    _save_outputs(np.asarray(decoded[0, :, :, 0]), args.output, ap)
+    return 0
+
+
+def _save_outputs(img01: np.ndarray, output: str, ap) -> None:
+    """Write <output>.png (spectrogram) and <output>.wav (Griffin-Lim)."""
+    from PIL import Image
+    from music_style_transfer_ldm_tpu.audio.io import write_wav
+
+    out = Path(output)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    u8 = np.clip(img01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    Image.fromarray(u8, mode="L").save(out.with_suffix(".png"))
+    sr = ap.target_sr
+    audio = np.asarray(ap.grayscale_mel_spectrogram_image_to_audio(
+        u8, length=3 * sr))
+    write_wav(out.with_suffix(".wav"), audio, sr)
+    print(f"wrote {out.with_suffix('.png')} and {out.with_suffix('.wav')}")
+
+
+def cmd_bench(_args) -> int:
+    import runpy
+    runpy.run_path(str(Path(__file__).resolve().parent.parent / "bench.py"),
+                   run_name="__main__")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="music_style_transfer_ldm_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    d = sub.add_parser("download", help="download audio via yt-dlp")
+    d.add_argument("--csv")
+    d.add_argument("--file")
+    d.add_argument("--url")
+    d.add_argument("--instrument")
+    d.add_argument("--output-dir", default="downloads")
+    d.set_defaults(fn=cmd_download)
+
+    b = sub.add_parser("build-dataset", help="audio -> spectrogram images")
+    b.add_argument("--audio-dir", default="downloads")
+    b.add_argument("--output-root", default="processed_images")
+    b.add_argument("--parquet", help="write parquet instead of PNG tree")
+    b.add_argument("--chunk-sec", type=float, default=3.0)
+    b.add_argument("--max-duration", type=float, default=1800.0)
+    b.add_argument("--n-mels", type=int, default=128)
+    b.set_defaults(fn=cmd_build_dataset)
+
+    g = sub.add_parser("generate-pairings", help="deterministic pair CSV")
+    g.add_argument("--root", default="processed_images")
+    g.add_argument("--output", default="spectrogram_pair_dataset_pairings.csv")
+    g.add_argument("--num-pairs", type=int, default=15000)
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(fn=cmd_generate_pairings)
+
+    t = sub.add_parser("train", help="train autoencoder or ldm")
+    t.add_argument("--model", required=True, choices=["autoencoder", "ldm"])
+    t.add_argument("--data-root")
+    t.add_argument("--pairing-file")
+    t.add_argument("--pretrained-ae",
+                   help="autoencoder checkpoint to load & freeze")
+    t.add_argument("--epochs", type=int)
+    t.add_argument("--out-dir", default="runs/train")
+    t.set_defaults(fn=cmd_train)
+
+    gen = sub.add_parser("generate", help="style-conditioned generation")
+    gen.add_argument("--checkpoint", required=True)
+    gen.add_argument("--style", required=True)
+    gen.add_argument("--steps", type=int, default=100)
+    gen.add_argument("--eta", type=float, default=0.0)
+    gen.add_argument("--seed", type=int, default=0)
+    gen.add_argument("--output", default="outputs/generated")
+    gen.set_defaults(fn=cmd_generate)
+
+    tr = sub.add_parser("transfer", help="content+style transfer")
+    tr.add_argument("--checkpoint", required=True)
+    tr.add_argument("--content", required=True)
+    tr.add_argument("--style", required=True)
+    tr.add_argument("--steps", type=int, default=100)
+    tr.add_argument("--eta", type=float, default=0.0)
+    tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--output", default="outputs/transferred")
+    tr.set_defaults(fn=cmd_transfer)
+
+    be = sub.add_parser("bench", help="run the headline benchmark")
+    be.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

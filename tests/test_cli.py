@@ -1,0 +1,67 @@
+"""CLI surface tests (replaces the reference's bare argparse,
+ref: models/train.py:318-329)."""
+
+import numpy as np
+import pytest
+
+from music_style_transfer_ldm_tpu.cli import build_parser, main
+from music_style_transfer_ldm_tpu.audio.io import write_wav
+
+
+def test_parser_subcommands():
+    p = build_parser()
+    args = p.parse_args(["train", "--model", "autoencoder"])
+    assert args.model == "autoencoder"
+    args = p.parse_args(["transfer", "--checkpoint", "c", "--content", "a",
+                         "--style", "b"])
+    assert args.steps == 100 and args.eta == 0.0
+    with pytest.raises(SystemExit):
+        p.parse_args(["train"])  # --model required
+    with pytest.raises(SystemExit):
+        p.parse_args(["train", "--model", "nope"])
+
+
+def test_download_requires_source(capsys):
+    assert main(["download"]) == 2
+    assert "--csv/--file/--url" in capsys.readouterr().err
+
+
+def test_build_dataset_and_pairings(tmp_path, monkeypatch, rng):
+    monkeypatch.chdir(tmp_path)
+    sr = 22050
+    for label in ["piano", "guitar"]:
+        d = tmp_path / "downloads" / label
+        d.mkdir(parents=True)
+        t = np.arange(4 * sr) / sr
+        y = 0.3 * np.sin(2 * np.pi * 440 * t) + 0.01 * rng.randn(len(t))
+        write_wav(d / "song.wav", y.astype(np.float32), sr)
+
+    assert main(["build-dataset"]) == 0
+    pngs = list((tmp_path / "processed_images").rglob("*.png"))
+    # 4 s -> 2 chunks per file (second zero-padded), 2 files.
+    assert len(pngs) == 4
+    from PIL import Image
+    img = Image.open(pngs[0])
+    assert img.size == (130, 128)  # (W, H): 130 frames x 128 mels
+
+    assert main(["generate-pairings", "--num-pairs", "6"]) == 0
+    lines = (tmp_path /
+             "spectrogram_pair_dataset_pairings.csv").read_text().splitlines()
+    assert len(lines) == 6
+
+
+def test_build_dataset_parquet(tmp_path, monkeypatch, rng):
+    monkeypatch.chdir(tmp_path)
+    sr = 22050
+    d = tmp_path / "downloads" / "violin"
+    d.mkdir(parents=True)
+    y = (0.3 * np.sin(2 * np.pi * 330 * np.arange(3 * sr) / sr)
+         ).astype(np.float32)
+    write_wav(d / "v.wav", y, sr)
+    assert main(["build-dataset", "--parquet", "ds.parquet"]) == 0
+    import pandas as pd
+    df = pd.read_parquet(tmp_path / "ds.parquet")
+    assert list(df.columns) == ["spectogram", "instrument", "title",
+                                "chunk_id"]
+    assert df.iloc[0]["instrument"] == "violin"
+    assert isinstance(df.iloc[0]["spectogram"], bytes)
