@@ -1,0 +1,220 @@
+"""Packed spectrogram dataset ("specpack"): builder + native-backed reader.
+
+High-throughput replacement for PNG-per-sample loading in the training hot
+path (the reference decodes PNGs one at a time through PIL per epoch,
+ref: models/dataset.py:306-341).  A pack is built once from the ETL output;
+reads are mmap + multithreaded gather/convert in C++
+(native/specpack.cc) with a pure-numpy fallback when the shared library
+isn't built.
+
+Usage:
+    build_pack("processed_images", "train.spk")
+    ds = PackedSpectrogramDataset("train.spk")
+    batch, labels = ds.gather(indices)          # [n,128,128,1] f32, [n] i32
+"""
+
+from __future__ import annotations
+
+import ctypes
+import struct
+import subprocess
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+_MAGIC = 0x314B5053  # "SPK1"
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_SO_PATH = _NATIVE_DIR / "libspecpack.so"
+
+
+def build_native(force: bool = False) -> Optional[Path]:
+    """Compile libspecpack.so with make/g++; None if toolchain missing."""
+    if _SO_PATH.exists() and not force:
+        return _SO_PATH
+    try:
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True)
+        return _SO_PATH if _SO_PATH.exists() else None
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    so = build_native()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(str(so))
+    lib.spk_open.restype = ctypes.c_void_p
+    lib.spk_open.argtypes = [ctypes.c_char_p]
+    lib.spk_close.argtypes = [ctypes.c_void_p]
+    for fn in ("spk_n_items", "spk_height", "spk_width", "spk_n_classes"):
+        getattr(lib, fn).restype = ctypes.c_uint32
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.spk_class_names.restype = ctypes.c_uint32
+    lib.spk_class_names.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_uint32]
+    lib.spk_labels.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                               ctypes.c_int64, ctypes.c_void_p]
+    lib.spk_gather_f32.restype = ctypes.c_int
+    lib.spk_gather_f32.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_int64, ctypes.c_int32,
+                                   ctypes.c_int32, ctypes.c_void_p]
+    lib.spk_gather_u8.restype = ctypes.c_int
+    lib.spk_gather_u8.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_int64, ctypes.c_void_p]
+    return lib
+
+
+def _align8(x: int) -> int:
+    return (x + 7) & ~7
+
+
+def write_pack(path: str | Path, images: np.ndarray, labels: np.ndarray,
+               class_names: Sequence[str]) -> None:
+    """Serialize [n, h, w] uint8 images + labels into the SPK1 container."""
+    images = np.ascontiguousarray(images, np.uint8)
+    labels = np.ascontiguousarray(labels, np.uint16)
+    n, h, w = images.shape
+    name_table = b"".join(
+        struct.pack("<H", len(c.encode())) + c.encode() for c in class_names)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<6I", _MAGIC, n, h, w, len(class_names),
+                            len(name_table)))
+        f.write(name_table)
+        f.write(b"\0" * (_align8(24 + len(name_table)) -
+                         (24 + len(name_table))))
+        f.write(labels.tobytes())
+        pos = _align8(24 + len(name_table)) + labels.nbytes
+        f.write(b"\0" * (_align8(pos) - pos))
+        f.write(images.tobytes())
+
+
+def build_pack(image_root: str | Path, out_path: str | Path) -> int:
+    """Pack a processed_images/<label>/*.png tree; returns item count."""
+    from PIL import Image
+    from music_style_transfer_ldm_tpu.datasets.folder import list_image_folder
+    samples, classes = list_image_folder(image_root)
+    if not samples:
+        raise ValueError(f"no images under {image_root}")
+    first = np.asarray(Image.open(samples[0][0]).convert("L"))
+    h, w = first.shape
+    images = np.empty((len(samples), h, w), np.uint8)
+    labels = np.empty((len(samples),), np.uint16)
+    for i, (p, lbl) in enumerate(samples):
+        images[i] = np.asarray(Image.open(p).convert("L"), np.uint8)
+        labels[i] = lbl
+    write_pack(out_path, images, labels, classes)
+    return len(samples)
+
+
+class PackedSpectrogramDataset:
+    """Reader over a .spk file; native-accelerated when available."""
+
+    def __init__(self, path: str | Path, crop: int = 128,
+                 use_native: bool = True):
+        self.path = Path(path)
+        self.crop = crop
+        self._lib = _load_native() if use_native else None
+        self._handle = None
+        if self._lib is not None:
+            self._handle = self._lib.spk_open(str(self.path).encode())
+            if not self._handle:
+                self._lib = None
+        if self._handle:
+            self.n = int(self._lib.spk_n_items(self._handle))
+            self.height = int(self._lib.spk_height(self._handle))
+            self.width = int(self._lib.spk_width(self._handle))
+            need = self._lib.spk_class_names(self._handle, None, 0)
+            buf = ctypes.create_string_buffer(need)
+            self._lib.spk_class_names(self._handle, buf, need)
+            self.classes = buf.raw[:need].decode().split("\n") if need else []
+            self._images = None
+            self._labels = None
+        else:
+            self._open_numpy()
+        self.native = self._handle is not None
+
+    # ---- numpy fallback ---------------------------------------------------
+
+    def _open_numpy(self) -> None:
+        raw = np.memmap(self.path, dtype=np.uint8, mode="r")
+        magic, n, h, w, n_classes, table_bytes = struct.unpack(
+            "<6I", raw[:24].tobytes())
+        if magic != _MAGIC:
+            raise ValueError(f"{self.path} is not a specpack file")
+        self.n, self.height, self.width = int(n), int(h), int(w)
+        table = raw[24:24 + table_bytes].tobytes()
+        names, off = [], 0
+        for _ in range(n_classes):
+            (ln,) = struct.unpack_from("<H", table, off)
+            off += 2
+            names.append(table[off:off + ln].decode())
+            off += ln
+        self.classes = names
+        pos = _align8(24 + table_bytes)
+        self._labels = raw[pos:pos + 2 * n].view(np.uint16)
+        pos = _align8(pos + 2 * n)
+        self._images = raw[pos:pos + n * h * w].reshape(n, h, w)
+
+    # ---- API ---------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, idx: int):
+        x, y = self.gather(np.asarray([idx], np.int64))
+        return x[0], int(y[0])
+
+    def gather(self, indices) -> tuple[np.ndarray, np.ndarray]:
+        """indices -> ([n, crop, crop, 1] float32 in [0,1], [n] int32)."""
+        idx = np.ascontiguousarray(indices, np.int64)
+        n = len(idx)
+        c = self.crop
+        if self._handle:
+            out = np.empty((n, c, c), np.float32)
+            labels = np.empty((n,), np.int32)
+            rc = self._lib.spk_gather_f32(
+                self._handle, idx.ctypes.data_as(ctypes.c_void_p), n, c, c,
+                out.ctypes.data_as(ctypes.c_void_p))
+            if rc != 0:
+                raise ValueError("crop larger than stored image")
+            self._lib.spk_labels(self._handle,
+                                 idx.ctypes.data_as(ctypes.c_void_p), n,
+                                 labels.ctypes.data_as(ctypes.c_void_p))
+            return out[..., None], labels
+        imgs = self._images[idx][:, :c, :c]
+        return (imgs.astype(np.float32) / 255.0)[..., None], \
+            self._labels[idx].astype(np.int32)
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.spk_close(self._handle)
+            self._handle = None
+
+    def __del__(self):  # noqa: D105
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
+
+
+def main(argv=None) -> int:
+    import argparse
+    p = argparse.ArgumentParser("specpack")
+    p.add_argument("--build", action="store_true",
+                   help="compile the native library")
+    p.add_argument("--pack", nargs=2, metavar=("IMAGE_ROOT", "OUT"),
+                   help="pack an image tree")
+    args = p.parse_args(argv)
+    if args.build:
+        so = build_native(force=True)
+        print(f"native library: {so}")
+    if args.pack:
+        n = build_pack(args.pack[0], args.pack[1])
+        print(f"packed {n} items -> {args.pack[1]}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

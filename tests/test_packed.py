@@ -1,0 +1,93 @@
+"""specpack native dataset tests: format round-trip, native/numpy parity,
+crop+normalize correctness."""
+
+import numpy as np
+import pytest
+
+from music_style_transfer_ldm_tpu.datasets.packed import (
+    PackedSpectrogramDataset, build_native, build_pack, write_pack,
+)
+
+
+@pytest.fixture
+def pack_file(tmp_path, rng):
+    images = rng.randint(0, 256, (20, 128, 130), np.uint8)
+    labels = np.arange(20, dtype=np.uint16) % 3
+    write_pack(tmp_path / "d.spk", images, labels,
+               ["guitar", "piano", "violin"])
+    return tmp_path / "d.spk", images, labels
+
+
+def test_numpy_reader_roundtrip(pack_file):
+    path, images, labels = pack_file
+    ds = PackedSpectrogramDataset(path, use_native=False)
+    assert not ds.native
+    assert len(ds) == 20
+    assert ds.classes == ["guitar", "piano", "violin"]
+    x, y = ds.gather(np.asarray([0, 7, 19]))
+    assert x.shape == (3, 128, 128, 1) and x.dtype == np.float32
+    np.testing.assert_allclose(
+        x[1, :, :, 0], images[7, :128, :128].astype(np.float32) / 255.0,
+        atol=1e-7)
+    np.testing.assert_array_equal(y, labels[[0, 7, 19]])
+
+
+def test_native_matches_numpy(pack_file):
+    path, images, labels = pack_file
+    if build_native() is None:
+        pytest.skip("no C++ toolchain")
+    nat = PackedSpectrogramDataset(path, use_native=True)
+    ref = PackedSpectrogramDataset(path, use_native=False)
+    assert nat.native, "native library should have loaded"
+    idx = np.asarray([3, 1, 4, 1, 5, 9, 2, 6], np.int64)
+    xn, yn = nat.gather(idx)
+    xr, yr = ref.gather(idx)
+    np.testing.assert_array_equal(yn, yr)
+    np.testing.assert_allclose(xn, xr, atol=1e-7)
+    assert nat.classes == ref.classes
+    nat.close()
+
+
+def test_native_large_batch_parallel(pack_file, rng):
+    path, _, _ = pack_file
+    if build_native() is None:
+        pytest.skip("no C++ toolchain")
+    ds = PackedSpectrogramDataset(path)
+    idx = rng.randint(0, 20, 512).astype(np.int64)
+    x, y = ds.gather(idx)
+    assert x.shape == (512, 128, 128, 1)
+    # spot-check a few rows against single gathers
+    for k in [0, 100, 511]:
+        xi, yi = ds.gather(idx[k:k + 1])
+        np.testing.assert_array_equal(x[k], xi[0])
+    ds.close()
+
+
+def test_build_pack_from_folder(tmp_path, rng):
+    from PIL import Image
+    for label in ["a", "b"]:
+        d = tmp_path / "imgs" / label
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(rng.randint(0, 256, (128, 130), np.uint8),
+                            mode="L").save(d / f"{i}.png")
+    n = build_pack(tmp_path / "imgs", tmp_path / "out.spk")
+    assert n == 6
+    ds = PackedSpectrogramDataset(tmp_path / "out.spk", use_native=False)
+    assert ds.classes == ["a", "b"]
+    x, y = ds.gather(np.arange(6))
+    assert list(y) == [0, 0, 0, 1, 1, 1]
+
+
+def test_bad_magic_rejected(tmp_path):
+    (tmp_path / "junk.spk").write_bytes(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        PackedSpectrogramDataset(tmp_path / "junk.spk", use_native=False)
+
+
+def test_getitem_matches_folder_semantics(pack_file):
+    path, images, labels = pack_file
+    ds = PackedSpectrogramDataset(path, use_native=False)
+    x, y = ds[5]
+    assert x.shape == (128, 128, 1)
+    assert y == int(labels[5])
