@@ -104,7 +104,8 @@ def cmd_train(args) -> int:
         val_loader = BatchLoader(ds, cfg.train.batch_size, indices=te_idx,
                                  shuffle=False)
         trainer = AETrainer(cfg)
-        trainer.train(train_loader, val_loader, out_dir=args.out_dir)
+        trainer.train(train_loader, val_loader, out_dir=args.out_dir,
+                      resume_from=args.resume_from)
     else:
         pair_file = args.pairing_file or cfg.data.pairing_file
         pair_ds = SpectrogramPairDataset(root, pair_file)
@@ -115,7 +116,7 @@ def cmd_train(args) -> int:
         if args.pretrained_ae:
             pre = ckpt_lib.load_autoencoder(args.pretrained_ae)
         trainer.train(loader, pretrained_autoencoder=pre,
-                      out_dir=args.out_dir)
+                      out_dir=args.out_dir, resume_from=args.resume_from)
     return 0
 
 
@@ -154,8 +155,24 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def _audio_to_chunk_images(path: str, ap, n_mels: int = 128) -> np.ndarray:
+    """Full clip -> [n_chunks, 128, 128, 1] batch of spectrogram images
+    (3 s chunks, zero-padded last; one jitted DSP call for the whole clip)."""
+    from music_style_transfer_ldm_tpu.data.build_dataset import chunk_audio
+    audio, sr = ap.load_audio(path)
+    audio = ap.trim_silence(audio)
+    chunks = chunk_audio(audio, sr, 3.0, None)
+    imgs = np.asarray(ap.waveform_batch_to_unit_images(chunks, n_mels=n_mels))
+    return imgs[:, :, :128, None].astype(np.float32)
+
+
 def cmd_transfer(args) -> int:
-    """Content+style transfer — the product path (ref: tests.py:1043-1132)."""
+    """Content+style transfer — the product path (ref: tests.py:1043-1132).
+
+    Content audio of any length is processed as one batch of 3 s chunks
+    (the whole clip goes through the sampler in a single device program)
+    and the reconstructed chunks are concatenated back into one WAV.
+    """
     import jax
     from music_style_transfer_ldm_tpu.audio.processor import AudioProcessor
     from music_style_transfer_ldm_tpu.config import default_config
@@ -164,27 +181,70 @@ def cmd_transfer(args) -> int:
     cfg = default_config()
     ap = AudioProcessor()
     model, variables = _restore_ldm(cfg, args.checkpoint)
-    content = _load_image_or_audio(args.content, ap)
-    style = _load_image_or_audio(args.style, ap)
+    if Path(args.content).suffix.lower() in (".png", ".jpg", ".jpeg", ".bmp"):
+        content = _load_image_or_audio(args.content, ap)
+    else:
+        content = _audio_to_chunk_images(args.content, ap)
+    style = np.repeat(_load_image_or_audio(args.style, ap),
+                      content.shape[0], axis=0)
     decoded, _, _ = content_style_transfer(
         model, variables, jax.random.PRNGKey(args.seed),
         content, style, num_timesteps=args.steps, eta=args.eta)
-    _save_outputs(np.asarray(decoded[0, :, :, 0]), args.output, ap)
+    _save_outputs(np.asarray(decoded[:, :, :, 0]), args.output, ap)
+    return 0
+
+
+def cmd_diagnose(args) -> int:
+    """Model diagnostics (ref: models/tests.py:878,918 run-by-hand checks)."""
+    import jax
+    from music_style_transfer_ldm_tpu.config import default_config
+    from music_style_transfer_ldm_tpu.evaluation import (
+        detect_dead_style_encoder, parameter_table, style_embedding_stats,
+    )
+    from music_style_transfer_ldm_tpu.models.ldm import LDM
+
+    cfg = default_config()
+    model, variables = _restore_ldm(cfg, args.checkpoint)
+    table = parameter_table(variables["params"])
+    print("parameter counts:")
+    for k, v in table.items():
+        print(f"  {k:<16} {v:>12,}")
+
+    rng = np.random.RandomState(0)
+    styles = rng.rand(8, cfg.model.image_size, cfg.model.image_size,
+                      1).astype(np.float32)
+    embs = model.apply(variables, styles, method=LDM.style_embed)
+    stats = style_embedding_stats(embs)
+    dead = detect_dead_style_encoder(embs)
+    print("style embedding stats (std ~ 0 across distinct styles = dead):")
+    for k in sorted(stats):
+        flag = "  DEAD" if dead[k] else ""
+        print(f"  {k}: std={stats[k]['std']:.5f} "
+              f"zero_frac={stats[k]['zero_fraction']:.3f}{flag}")
     return 0
 
 
 def _save_outputs(img01: np.ndarray, output: str, ap) -> None:
-    """Write <output>.png (spectrogram) and <output>.wav (Griffin-Lim)."""
+    """Write <output>.png (spectrogram) and <output>.wav (Griffin-Lim).
+
+    img01 may be [H, W] (single chunk) or [N, H, W] (a chunked clip: chunks
+    are phase-recovered as one batch and concatenated into one WAV; the PNG
+    tiles them horizontally).
+    """
     from PIL import Image
     from music_style_transfer_ldm_tpu.audio.io import write_wav
 
     out = Path(output)
     out.parent.mkdir(parents=True, exist_ok=True)
-    u8 = np.clip(img01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
-    Image.fromarray(u8, mode="L").save(out.with_suffix(".png"))
     sr = ap.target_sr
+    batched = img01.ndim == 3
+    u8 = np.clip(img01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    png = np.concatenate(list(u8), axis=1) if batched else u8
+    Image.fromarray(png, mode="L").save(out.with_suffix(".png"))
     audio = np.asarray(ap.grayscale_mel_spectrogram_image_to_audio(
         u8, length=3 * sr))
+    if batched:
+        audio = audio.reshape(-1)
     write_wav(out.with_suffix(".wav"), audio, sr)
     print(f"wrote {out.with_suffix('.png')} and {out.with_suffix('.wav')}")
 
@@ -232,7 +292,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="autoencoder checkpoint to load & freeze")
     t.add_argument("--epochs", type=int)
     t.add_argument("--out-dir", default="runs/train")
+    t.add_argument("--resume-from",
+                   help="full train-state checkpoint to resume from")
     t.set_defaults(fn=cmd_train)
+
+    dg = sub.add_parser("diagnose", help="parameter table + dead-style-"
+                                         "encoder probe on a checkpoint")
+    dg.add_argument("--checkpoint", required=True)
+    dg.set_defaults(fn=cmd_diagnose)
 
     gen = sub.add_parser("generate", help="style-conditioned generation")
     gen.add_argument("--checkpoint", required=True)

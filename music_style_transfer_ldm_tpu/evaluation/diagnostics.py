@@ -1,0 +1,108 @@
+"""Model diagnostics and evaluation metrics.
+
+Library-form replacements for the reference's script-style checks
+(ref: models/tests.py): parameter-count table (:878 test_model_parameters),
+dead-style-encoder detection via embedding std (:918), autoencoder
+reconstruction grids (:323), LDM forward visualization (:1135), plus
+numeric audio-fidelity metrics the reference only eyeballed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parameter_table(params: Dict) -> Dict[str, int]:
+    """Per-component + total parameter counts
+    (ref: tests.py:878-916 prints the same table)."""
+    table = {}
+    for name, sub in params.items():
+        table[name] = int(sum(np.prod(x.shape)
+                              for x in jax.tree_util.tree_leaves(sub)))
+    table["total"] = sum(table.values())
+    return table
+
+
+def style_embedding_stats(embeddings: Dict[str, jax.Array]
+                          ) -> Dict[str, Dict[str, float]]:
+    """Mean/std/zero-fraction per pyramid level."""
+    out = {}
+    for k, v in embeddings.items():
+        v = np.asarray(v, np.float32)
+        out[k] = {"mean": float(v.mean()), "std": float(v.std()),
+                  "zero_fraction": float((v == 0).mean())}
+    return out
+
+
+def detect_dead_style_encoder(embeddings: Dict[str, jax.Array],
+                              std_threshold: float = 1e-4) -> Dict[str, bool]:
+    """True per level if the embedding has (near-)zero variance across a
+    batch of distinct styles — the reference's dead-encoder probe
+    (ref: tests.py:918-1026)."""
+    stats = style_embedding_stats(embeddings)
+    return {k: s["std"] < std_threshold for k, s in stats.items()}
+
+
+def reconstruction_grid(originals: np.ndarray, reconstructions: np.ndarray,
+                        out_path: Optional[str] = None,
+                        max_items: int = 8) -> Optional[np.ndarray]:
+    """Side-by-side original/reconstruction image grid
+    (ref: tests.py:323-376).  Returns the grid array; writes a PNG when
+    out_path is given."""
+    n = min(max_items, originals.shape[0])
+    o = np.asarray(originals)[:n, :, :, 0]
+    r = np.asarray(reconstructions)[:n, :, :, 0]
+    rows = [np.concatenate([o[i], r[i]], axis=1) for i in range(n)]
+    grid = np.concatenate(rows, axis=0)
+    grid_u8 = np.clip(grid * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    if out_path:
+        from PIL import Image
+        Image.fromarray(grid_u8, mode="L").save(out_path)
+    return grid_u8
+
+
+def forward_visualization(outputs: Dict[str, jax.Array],
+                          out_path: Optional[str] = None) -> Dict[str, float]:
+    """Summarize an LDM forward pass (ref: tests.py:1135-1287): per-tensor
+    ranges plus an optional panel image of z_t / reconstruction."""
+    summary = {}
+    for k in ("z_t", "noise", "noise_pred", "z_0", "reconstructed"):
+        v = np.asarray(outputs[k], np.float32)
+        summary[f"{k}_min"] = float(v.min())
+        summary[f"{k}_max"] = float(v.max())
+        summary[f"{k}_std"] = float(v.std())
+    if out_path:
+        rec = np.asarray(outputs["reconstructed"])[0, :, :, 0]
+        from PIL import Image
+        Image.fromarray(np.clip(rec * 255 + 0.5, 0, 255).astype(np.uint8),
+                        mode="L").save(out_path)
+    return summary
+
+
+# ---------------- numeric fidelity metrics ---------------------------------
+
+
+def spectral_convergence(target_mag: jax.Array, got_mag: jax.Array) -> float:
+    """||got - target||_F / ||target||_F over magnitude spectrograms."""
+    t = jnp.asarray(target_mag, jnp.float32)
+    g = jnp.asarray(got_mag, jnp.float32)
+    return float(jnp.linalg.norm(g - t) / (jnp.linalg.norm(t) + 1e-12))
+
+
+def mel_db_distance(audio_a: jax.Array, audio_b: jax.Array,
+                    sr: int = 22050, n_mels: int = 128) -> float:
+    """Mean |dB| distance between two clips' log-mel spectrograms — the
+    numeric form of the reference's listen-and-look evaluation
+    (ref: tests/audio_reconstruction_test.py)."""
+    from music_style_transfer_ldm_tpu.audio.mel import (
+        melspectrogram, power_to_db,
+    )
+    a = power_to_db(melspectrogram(jnp.asarray(audio_a), sr=sr,
+                                   n_mels=n_mels))
+    b = power_to_db(melspectrogram(jnp.asarray(audio_b), sr=sr,
+                                   n_mels=n_mels))
+    return float(jnp.abs(a - b).mean())

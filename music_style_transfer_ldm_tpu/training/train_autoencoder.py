@@ -140,13 +140,17 @@ class AETrainer:
     def train(self, train_loader, val_loader, num_epochs: Optional[int] = None,
               state: Optional[TrainState] = None,
               out_dir: str | Path = "runs/autoencoder",
-              log_every: int = 0) -> TrainState:
-        """Full training loop (ref: train.py:59-138)."""
+              resume_from: Optional[str | Path] = None) -> TrainState:
+        """Full training loop (ref: train.py:59-138).  resume_from restores
+        a full train-state checkpoint (params + optimizer state + step) —
+        a capability the reference lacks (save-only)."""
         num_epochs = num_epochs or self.config.train.num_epochs
         out_dir = Path(out_dir)
         logger = MetricLogger(out_dir / "metrics.csv")
         state = state if state is not None else self.init_state(
             self.config.train.seed)
+        if resume_from is not None:
+            state = ckpt_lib.restore_train_state(resume_from, state)
         vgg = self._vggish_params
         best_val = float("inf")
 
@@ -179,4 +183,5 @@ class AETrainer:
         logger.plot(out_dir / "autoencoder_loss.png",
                     ["train_loss", "val_loss"])
         ckpt_lib.save_autoencoder(out_dir / "pretrained_final", state)
+        ckpt_lib.save_train_state(out_dir / "train_state_final", state)
         return state

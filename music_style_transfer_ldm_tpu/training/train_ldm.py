@@ -186,15 +186,21 @@ class LDMTrainer:
     def train(self, train_loader, num_epochs: Optional[int] = None,
               state: Optional[TrainState] = None,
               pretrained_autoencoder: Optional[dict] = None,
-              out_dir: str | Path = "runs/ldm") -> TrainState:
+              out_dir: str | Path = "runs/ldm",
+              resume_from: Optional[str | Path] = None) -> TrainState:
         """Full loop (ref: train.py:246-293): plateau LR on train loss,
-        checkpoints + linear/log plots every config ckpt interval."""
+        checkpoints + linear/log plots every config ckpt interval.
+        resume_from restarts from a full train-state checkpoint (params +
+        optimizer state + step) — a capability the reference lacks
+        (save-only, SURVEY.md section 5)."""
         cfg = self.config.train
         num_epochs = num_epochs or cfg.num_epochs
         out_dir = Path(out_dir)
         logger = MetricLogger(out_dir / "metrics.csv")
         if state is None:
             state = self.init_state(cfg.seed, pretrained_autoencoder)
+        if resume_from is not None:
+            state = ckpt_lib.restore_train_state(resume_from, state)
         base_key = jax.random.PRNGKey(cfg.seed + 123)
 
         for epoch in range(num_epochs):

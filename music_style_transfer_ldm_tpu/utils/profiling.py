@@ -1,0 +1,71 @@
+"""Tracing / profiling / debug subsystems.
+
+The reference has none of these (SURVEY.md section 5: only tqdm bars).
+Here:
+
+* ``trace(log_dir)`` — context manager around ``jax.profiler`` producing a
+  TensorBoard-loadable device trace of whatever runs inside it;
+* ``StepTimer`` — lightweight per-step wall-clock stats (p50/p95/mean);
+* ``debug_mode()`` — turns on jax NaN/Inf checking (jit-compatible
+  ``jax_debug_nans``) for race-free numerical fault detection on device.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from pathlib import Path
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str | Path = "runs/profile") -> Iterator[None]:
+    """Capture a device profile: view with TensorBoard's profile plugin."""
+    Path(log_dir).mkdir(parents=True, exist_ok=True)
+    jax.profiler.start_trace(str(log_dir))
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def debug_mode(nans: bool = True, infs: bool = True) -> Iterator[None]:
+    """Raise on NaN/Inf produced inside jitted computations."""
+    old_nans = jax.config.jax_debug_nans
+    old_infs = jax.config.jax_debug_infs
+    jax.config.update("jax_debug_nans", nans)
+    jax.config.update("jax_debug_infs", infs)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", old_nans)
+        jax.config.update("jax_debug_infs", old_infs)
+
+
+class StepTimer:
+    """Wall-clock step timing with percentile summary."""
+
+    def __init__(self):
+        self.samples: list[float] = []
+        self._t0: Optional[float] = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.samples.append(time.perf_counter() - self._t0)
+        return False
+
+    def summary(self) -> dict:
+        if not self.samples:
+            return {}
+        a = np.asarray(self.samples)
+        return {"steps": len(a), "mean_s": float(a.mean()),
+                "p50_s": float(np.percentile(a, 50)),
+                "p95_s": float(np.percentile(a, 95)),
+                "total_s": float(a.sum())}

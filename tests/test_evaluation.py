@@ -1,0 +1,69 @@
+"""Diagnostics/evaluation tests (ref: models/tests.py:878,918 behaviors)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_style_transfer_ldm_tpu.evaluation import (
+    detect_dead_style_encoder, forward_visualization, mel_db_distance,
+    parameter_table, reconstruction_grid, spectral_convergence,
+    style_embedding_stats,
+)
+from music_style_transfer_ldm_tpu.models import LDM, StyleEncoder
+
+
+def test_parameter_table_matches_reference_counts():
+    ldm = LDM(latent_dim=32)
+    x = jnp.zeros((1, 128, 128, 1))
+    variables = ldm.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        x, x, jnp.zeros((1,), jnp.int32))
+    table = parameter_table(variables["params"])
+    assert table["encoder"] == 111840       # report/results.tex:98
+    assert table["decoder"] == 198209       # report/results.tex:99
+    assert table["style_encoder"] == 2729984  # report/results.tex:100
+    assert table["total"] == sum(v for k, v in table.items() if k != "total")
+
+
+def test_dead_style_encoder_detection(rng):
+    se = StyleEncoder()
+    styles = jnp.asarray(rng.rand(8, 128, 128, 1).astype(np.float32))
+    variables = se.init(jax.random.PRNGKey(0), styles)
+    embs = se.apply(variables, styles)
+    dead = detect_dead_style_encoder(embs)
+    assert not any(dead.values())  # healthy random init is not dead
+    # A constant embedding must be flagged.
+    embs_dead = {k: jnp.zeros_like(v) for k, v in embs.items()}
+    assert all(detect_dead_style_encoder(embs_dead).values())
+    stats = style_embedding_stats(embs)
+    assert set(stats) == {"s1", "s2", "s3", "s4", "s5", "s6"}
+
+
+def test_reconstruction_grid(tmp_path, rng):
+    o = rng.rand(4, 128, 128, 1).astype(np.float32)
+    r = rng.rand(4, 128, 128, 1).astype(np.float32)
+    grid = reconstruction_grid(o, r, out_path=str(tmp_path / "grid.png"))
+    assert grid.shape == (4 * 128, 2 * 128)
+    assert (tmp_path / "grid.png").exists()
+
+
+def test_forward_visualization_summary(rng):
+    outputs = {k: jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32))
+               for k in ("z_t", "noise", "noise_pred", "z_0")}
+    outputs["reconstructed"] = jnp.asarray(
+        rng.rand(2, 128, 128, 1).astype(np.float32))
+    s = forward_visualization(outputs)
+    assert "z_t_std" in s and "reconstructed_max" in s
+
+
+def test_spectral_convergence_zero_for_identical(rng):
+    m = rng.rand(128, 50).astype(np.float32)
+    assert spectral_convergence(m, m) == 0.0
+    assert spectral_convergence(m, m * 2) > 0.5
+
+
+def test_mel_db_distance(rng):
+    a = rng.randn(22050).astype(np.float32) * 0.1
+    assert mel_db_distance(a, a) == 0.0
+    b = rng.randn(22050).astype(np.float32) * 0.1
+    assert mel_db_distance(a, b) > 1.0
