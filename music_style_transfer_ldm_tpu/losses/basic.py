@@ -51,6 +51,30 @@ def style_loss(reconstructed: jax.Array, style_spec: jax.Array,
     return feature_loss(reconstructed, style_spec)
 
 
+def perceptual_loss(original: jax.Array, reconstructed: jax.Array,
+                    feature_extractor_type: str = "vggish",
+                    feature_extractor: Optional[Callable] = None
+                    ) -> jax.Array:
+    """Dispatcher mirroring the reference API (ref: loss.py:24-30):
+    'vggish' requires the provided extractor; 'lpips' builds/uses an LPIPS
+    metric (built once and cached, unlike the reference's per-call
+    construction, loss.py:10)."""
+    if feature_extractor_type == "vggish":
+        if feature_extractor is None:
+            raise ValueError("Feature extractor must be provided for VGGish")
+        return feature_extractor(original, reconstructed)
+    if feature_extractor is not None:
+        return feature_extractor(original, reconstructed)
+    from music_style_transfer_ldm_tpu.losses.lpips import LPIPSLoss
+    global _DEFAULT_LPIPS
+    if _DEFAULT_LPIPS is None:
+        _DEFAULT_LPIPS = LPIPSLoss(input_shape=(1,) + original.shape[1:])
+    return _DEFAULT_LPIPS(original, reconstructed)
+
+
+_DEFAULT_LPIPS = None
+
+
 def gram_matrix(features: jax.Array) -> jax.Array:
     """Classic Gram matrix over NHWC features, [B, C, C] normalized by
     C*H*W (ref: loss.py:108-112 — defined there but unused; kept for API
