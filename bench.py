@@ -27,14 +27,27 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def timed(fn, *args, repeats: int = 3):
+def _sync(out) -> None:
+    """Force real completion: fetch one element to host.
+
+    Through the axon relay, block_until_ready can return before the device
+    work drains; a host readback cannot lie.
+    """
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
+def timed(fn, *args, repeats: int = 3, warmup: int = 25):
     out = fn(*args)
-    jax.block_until_ready(out)  # compile + warm-up
+    _sync(out)  # compile
+    for _ in range(warmup):  # relay warm-up: first ~20 calls are slow
+        out = fn(*args)
+    _sync(out)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
     return best, out
 

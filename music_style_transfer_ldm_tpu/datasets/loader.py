@@ -91,12 +91,15 @@ class BatchLoader:
 
         def worker():
             from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(self.num_threads) as pool:
-                for bidx in batches_idx:
-                    items = list(pool.map(
-                        lambda i: self.dataset[int(i)], bidx))
-                    q.put(self._collate(items))
-            q.put(stop)
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for bidx in batches_idx:
+                        items = list(pool.map(
+                            lambda i: self.dataset[int(i)], bidx))
+                        q.put(self._collate(items))
+                q.put(stop)
+            except BaseException as e:  # noqa: BLE001 — surface to consumer
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -104,5 +107,26 @@ class BatchLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
             yield item
         t.join()
+
+
+def prepare_dataset(config, root: str | None = None):
+    """(train_loader, test_loader) for AE pretraining — API parity with the
+    reference's prepare_dataset (ref: models/dataset.py:306-316): 80/20
+    random split, shuffled train, unshuffled test."""
+    from music_style_transfer_ldm_tpu.datasets.folder import (
+        SpectrogramDataset,
+    )
+    root = root or config.data.processed_dir
+    ds = SpectrogramDataset(root, image_size=config.model.image_size)
+    tr_idx, te_idx = train_test_split(len(ds), config.train.train_split,
+                                      seed=config.train.seed)
+    train_loader = BatchLoader(ds, config.train.batch_size, indices=tr_idx,
+                               shuffle=True, seed=config.train.seed)
+    test_loader = BatchLoader(ds, config.train.batch_size, indices=te_idx,
+                              shuffle=False)
+    return train_loader, test_loader

@@ -156,6 +156,8 @@ class AETrainer:
 
         for epoch in range(num_epochs):
             t0 = time.time()
+            # Losses stay on device until epoch end (per-step float() would
+            # stall the dispatch pipeline with a sync readback).
             train_losses = []
             for batch in train_loader:
                 x = batch[0] if isinstance(batch, tuple) else batch

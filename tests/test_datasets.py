@@ -122,3 +122,29 @@ def test_batch_loader_sync_and_threaded_agree(image_root):
     for (xa, ya), (xb, yb) in zip(sync, thr):
         np.testing.assert_array_equal(xa, xb)
         np.testing.assert_array_equal(ya, yb)
+
+
+def test_batch_loader_propagates_worker_errors():
+    class Broken:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, idx):
+            if idx == 5:
+                raise RuntimeError("corrupt sample")
+            return np.zeros((4, 4), np.float32)
+
+    loader = BatchLoader(Broken(), batch_size=4, shuffle=False,
+                         num_threads=4)
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        list(loader)
+
+
+def test_prepare_dataset_parity(image_root):
+    from music_style_transfer_ldm_tpu.config import default_config
+    from music_style_transfer_ldm_tpu.datasets import prepare_dataset
+    cfg = default_config()
+    train_loader, test_loader = prepare_dataset(cfg, root=str(image_root))
+    n_train = sum(b[0].shape[0] for b in train_loader)
+    n_test = sum(b[0].shape[0] for b in test_loader)
+    assert n_train == 14 and n_test == 4  # 80/20 of 18
