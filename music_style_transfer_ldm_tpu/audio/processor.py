@@ -164,3 +164,71 @@ class AudioProcessor:
         """
         db = self.get_mel_spectrogram(chunks, n_mels=n_mels)
         return _quant.db_to_unit_image(db, max_db=max_db, quantize=True)
+
+    # ---------------- misc parity helpers ---------------------------------
+
+    def normalize_audio(self, audio, peak: float = 1.0):
+        """Peak-normalize (the reference left this as an unimplemented TODO,
+        audio_processor.py:40-42)."""
+        audio = np.asarray(audio, np.float32)
+        m = float(np.max(np.abs(audio))) if audio.size else 0.0
+        return audio if m == 0.0 else audio * (peak / m)
+
+    def get_raw_image_bytes(self, image) -> bytes:
+        """PNG-encode a uint8 array or PIL image
+        (ref: audio_processor.py:75-79)."""
+        from io import BytesIO
+        from PIL import Image
+        if not hasattr(image, "save"):
+            image = Image.fromarray(np.asarray(image, np.uint8), mode="L")
+        with BytesIO() as out:
+            image.save(out, format="PNG")
+            return out.getvalue()
+
+    def plot_audio(self, audio, sr=None, out_path=None):
+        """Waveform plot (ref: audio_processor.py:156-170); saves to
+        out_path when given, else shows. No-op without matplotlib."""
+        try:
+            import matplotlib
+            if out_path:
+                matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        sr = sr or self.target_sr
+        audio = np.asarray(audio)
+        t = np.linspace(0, len(audio) / sr, num=len(audio))
+        plt.figure(figsize=(14, 5))
+        plt.plot(t, audio)
+        plt.title("Audio Waveform")
+        plt.xlabel("Time (seconds)")
+        plt.ylabel("Amplitude")
+        plt.tight_layout()
+        if out_path:
+            plt.savefig(out_path)
+            plt.close()
+        else:
+            plt.show()
+
+    def plot_mel_spectrogram(self, mel_db, out_path=None):
+        """Log-mel heatmap (ref: audio_processor.py:172-182)."""
+        try:
+            import matplotlib
+            if out_path:
+                matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        mel_db = np.asarray(mel_db)
+        plt.figure(figsize=(14, 5))
+        plt.imshow(mel_db, origin="lower", aspect="auto", cmap="magma")
+        plt.colorbar(format="%+2.0f dB")
+        plt.title("Mel spectrogram")
+        plt.xlabel("Frame")
+        plt.ylabel("Mel bin")
+        plt.tight_layout()
+        if out_path:
+            plt.savefig(out_path)
+            plt.close()
+        else:
+            plt.show()

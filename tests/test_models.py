@@ -150,3 +150,25 @@ def test_ldm_total_trainable_params(keys):
     # encoder + decoder + style + unet(incl. attention) =
     # 111840 + 198209 + 2729984 + 6841504
     assert total == 9881537
+
+
+def test_models_are_width_agnostic(keys):
+    """Long-context capability: the conv/attention stack accepts wider time
+    axes (any W divisible by 8), e.g. 128x256 two-chunk spectrograms."""
+    enc = SpectrogramEncoder(latent_dim=32)
+    dec = SpectrogramDecoder(latent_dim=32)
+    se = StyleEncoder()
+    unet = UNet(in_channels=32, out_channels=32)
+    x = jnp.zeros((2, 128, 256, 1))
+    ev = enc.init(keys[0], x)
+    z = enc.apply(ev, x)
+    assert z.shape == (2, 16, 32, 32)
+    dv = dec.init(keys[1], z)
+    assert dec.apply(dv, z).shape == (2, 128, 256, 1)
+    sv = se.init(keys[2], x)
+    emb = se.apply(sv, x)
+    assert emb["s5"].shape == (2, 4, 8, 256)
+    uv = unet.init(jax.random.PRNGKey(3), z,
+                   jnp.zeros((2,), jnp.int32), emb)
+    out = unet.apply(uv, z, jnp.zeros((2,), jnp.int32), emb)
+    assert out.shape == z.shape
