@@ -53,6 +53,10 @@ def timed(fn, *args, repeats: int = 3, warmup: int = 25):
 
 
 def main() -> None:
+    from music_style_transfer_ldm_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+    enable_compilation_cache()
     from music_style_transfer_ldm_tpu.config import default_config
     from music_style_transfer_ldm_tpu.models.ldm import (
         LDM, content_style_transfer,

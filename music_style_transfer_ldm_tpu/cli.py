@@ -249,6 +249,26 @@ def _save_outputs(img01: np.ndarray, output: str, ap) -> None:
     print(f"wrote {out.with_suffix('.png')} and {out.with_suffix('.wav')}")
 
 
+def cmd_serve(args) -> int:
+    """Run the HTTP inference server over a checkpoint."""
+    from music_style_transfer_ldm_tpu.config import default_config
+    from music_style_transfer_ldm_tpu.serving import (
+        EngineConfig, InferenceEngine, serve,
+    )
+    cfg = default_config()
+    model, variables = _restore_ldm(cfg, args.checkpoint)
+    engine = InferenceEngine(
+        model, variables,
+        EngineConfig(steps=args.steps,
+                     batch_buckets=tuple(args.buckets),
+                     max_wait_ms=args.max_wait_ms))
+    print(f"warming {len(args.buckets)} batch buckets...", flush=True)
+    engine.warmup()
+    print(f"serving on http://{args.host}:{args.port}", flush=True)
+    serve(engine, host=args.host, port=args.port, block=True)
+    return 0
+
+
 def cmd_bench(_args) -> int:
     import runpy
     runpy.run_path(str(Path(__file__).resolve().parent.parent / "bench.py"),
@@ -320,12 +340,25 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--output", default="outputs/transferred")
     tr.set_defaults(fn=cmd_transfer)
 
+    sv = sub.add_parser("serve", help="HTTP inference server (microbatched)")
+    sv.add_argument("--checkpoint", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8787)
+    sv.add_argument("--steps", type=int, default=50)
+    sv.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4, 8])
+    sv.add_argument("--max-wait-ms", type=float, default=5.0)
+    sv.set_defaults(fn=cmd_serve)
+
     be = sub.add_parser("bench", help="run the headline benchmark")
     be.set_defaults(fn=cmd_bench)
     return p
 
 
 def main(argv=None) -> int:
+    from music_style_transfer_ldm_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

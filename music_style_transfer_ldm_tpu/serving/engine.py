@@ -1,0 +1,184 @@
+"""Device-resident inference engine with request microbatching.
+
+Design (no reference counterpart — the reference is a training repo with
+script-style inference, models/tests.py):
+
+* the LDM variables live on device once; the style-transfer program is
+  pre-compiled for a fixed ladder of batch buckets (1, 2, 4, 8, ...) so no
+  request ever triggers a compile;
+* incoming requests enqueue; a dispatcher thread drains the queue into the
+  largest fitting bucket (padding with repeats) after at most
+  ``max_wait_ms`` — classic microbatching: single-request latency stays
+  low while concurrent load rides the batch dimension, which is where TPU
+  throughput lives;
+* audio decode (WAV -> chunks) and Griffin-Lim inversion run inside the
+  same device program as the sampler.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    steps: int = 50
+    eta: float = 0.0
+    batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
+    max_wait_ms: float = 5.0
+    griffin_lim_iters: int = 32
+    nnls_iters: int = 64
+    invert_audio: bool = True
+    seed: int = 0
+
+
+class InferenceEngine:
+    """Warm engine over a trained LDM checkpoint."""
+
+    def __init__(self, model, variables, config: Optional[EngineConfig] = None,
+                 audio_processor=None):
+        from music_style_transfer_ldm_tpu.audio.processor import AudioProcessor
+        self.model = model
+        self.variables = variables
+        self.config = config or EngineConfig()
+        self.ap = audio_processor or AudioProcessor()
+        self._queue: queue.Queue = queue.Queue()
+        self._stats = {"requests": 0, "batches": 0, "padded_slots": 0}
+        self._stop = threading.Event()
+        self._transfer_fns = {}
+        self._thread: Optional[threading.Thread] = None
+
+    # ---------------- compiled programs ------------------------------------
+
+    def _build_transfer(self, batch: int):
+        from music_style_transfer_ldm_tpu.models.ldm import (
+            content_style_transfer,
+        )
+        cfg = self.config
+
+        def fn(content, style, key):
+            decoded, _, _ = content_style_transfer(
+                self.model, self.variables, key, content, style,
+                num_timesteps=cfg.steps, eta=cfg.eta)
+            out = {"image": decoded}
+            if cfg.invert_audio:
+                from music_style_transfer_ldm_tpu.audio.mel import db_to_power
+                from music_style_transfer_ldm_tpu.audio.quantize import (
+                    unit_image_to_db,
+                )
+                from music_style_transfer_ldm_tpu.audio.griffinlim import (
+                    mel_to_audio,
+                )
+                db = unit_image_to_db(decoded[:, :, :, 0])
+                sr = self.ap.target_sr
+                out["audio"] = mel_to_audio(
+                    db_to_power(db), sr=sr, n_fft=self.ap.n_fft,
+                    hop_length=self.ap.hop_length,
+                    n_iter=cfg.griffin_lim_iters,
+                    nnls_iters=cfg.nnls_iters,
+                    length=int(3 * sr))
+            return out
+
+        return jax.jit(fn)
+
+    def warmup(self) -> None:
+        """Pre-compile every bucket (call before taking traffic)."""
+        S = 128
+        for b in self.config.batch_buckets:
+            f = self._build_transfer(b)
+            x = jnp.zeros((b, S, S, 1), jnp.float32)
+            out = f(x, x, jax.random.PRNGKey(0))
+            jax.tree_util.tree_map(
+                lambda a: np.asarray(jax.device_get(a.ravel()[0])), out)
+            self._transfer_fns[b] = f
+
+    # ---------------- synchronous API ---------------------------------------
+
+    def transfer_batch(self, content: np.ndarray, style: np.ndarray,
+                       seed: int = 0) -> dict:
+        """[B, 128, 128, 1] content+style -> {'image': ..., 'audio': ...}."""
+        b = content.shape[0]
+        bucket = next((k for k in sorted(self._transfer_fns) if k >= b),
+                      None)
+        if bucket is None:
+            if not self._transfer_fns:
+                self.warmup()
+                return self.transfer_batch(content, style, seed)
+            bucket = max(self._transfer_fns)
+        pad = bucket - b
+        self._stats["padded_slots"] += pad
+        if pad:
+            content = np.concatenate(
+                [content, np.repeat(content[-1:], pad, axis=0)])
+            style = np.concatenate(
+                [style, np.repeat(style[-1:], pad, axis=0)])
+        out = self._transfer_fns[bucket](
+            jnp.asarray(content), jnp.asarray(style),
+            jax.random.PRNGKey(seed))
+        self._stats["batches"] += 1
+        return {k: np.asarray(v)[:b] for k, v in out.items()}
+
+    # ---------------- async microbatching API --------------------------------
+
+    def start(self) -> None:
+        if self._thread is None:
+            if not self._transfer_fns:
+                self.warmup()
+            self._stop.clear()
+            self._thread = threading.Thread(target=self._dispatch_loop,
+                                            daemon=True)
+            self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def submit(self, content: np.ndarray, style: np.ndarray,
+               seed: int = 0) -> "queue.Queue":
+        """Enqueue one request ([128,128,1] images); returns a queue that
+        will receive the {'image', 'audio'} result dict."""
+        done: queue.Queue = queue.Queue(maxsize=1)
+        self._queue.put((content, style, seed, done))
+        self._stats["requests"] += 1
+        return done
+
+    def _dispatch_loop(self) -> None:
+        max_b = max(self.config.batch_buckets)
+        wait_s = self.config.max_wait_ms / 1000.0
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + wait_s
+            while len(batch) < max_b:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            content = np.stack([r[0] for r in batch])
+            style = np.stack([r[1] for r in batch])
+            try:
+                out = self.transfer_batch(content, style, seed=batch[0][2])
+                for i, (_, _, _, done) in enumerate(batch):
+                    done.put({k: v[i] for k, v in out.items()})
+            except Exception as e:  # noqa: BLE001 — deliver, don't die
+                for _, _, _, done in batch:
+                    done.put(e)
+
+    def stats(self) -> dict:
+        return dict(self._stats)

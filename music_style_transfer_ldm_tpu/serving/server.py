@@ -1,0 +1,139 @@
+"""Dependency-free HTTP serving front end.
+
+Endpoints (JSON in/out; binary payloads base64):
+
+  GET  /healthz            -> {"status": "ok"}
+  GET  /stats              -> engine counters
+  POST /v1/transfer        -> {"content_wav_b64" | "content_png_b64",
+                               "style_png_b64" | "style_wav_b64",
+                               "seed": 0}
+                            <- {"image_png_b64", "audio_wav_b64"}
+
+Uses ThreadingHTTPServer: handler threads block on the engine's
+microbatching queue, so concurrent requests share device batches.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+def _png_to_image(b: bytes) -> np.ndarray:
+    from PIL import Image
+    arr = np.asarray(Image.open(io.BytesIO(b)).convert("L"), np.uint8)
+    arr = arr[:128, :128]
+    if arr.shape != (128, 128):
+        pad = np.zeros((128, 128), np.uint8)
+        pad[:arr.shape[0], :arr.shape[1]] = arr
+        arr = pad
+    return (arr.astype(np.float32) / 255.0)[..., None]
+
+
+def _wav_to_image(b: bytes, ap) -> np.ndarray:
+    from scipy.io import wavfile
+    from music_style_transfer_ldm_tpu.audio.io import _to_float_mono, resample
+    sr, data = wavfile.read(io.BytesIO(b))
+    y = resample(_to_float_mono(data), int(sr), ap.target_sr)
+    chunk = int(3 * ap.target_sr)
+    piece = np.zeros(chunk, np.float32)
+    piece[:min(len(y), chunk)] = y[:chunk]
+    img = np.asarray(ap.waveform_batch_to_unit_images(piece[None],
+                                                      n_mels=128))
+    return img[0, :, :128, None].astype(np.float32)
+
+
+def _image_to_png_b64(img01: np.ndarray) -> str:
+    from PIL import Image
+    u8 = np.clip(img01[..., 0] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(u8, mode="L").save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _audio_to_wav_b64(audio: np.ndarray, sr: int) -> str:
+    from scipy.io import wavfile
+    buf = io.BytesIO()
+    wavfile.write(buf, sr,
+                  (np.clip(audio, -1, 1) * 32767.0).astype(np.int16))
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def make_handler(engine):
+    ap = engine.ap
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok"})
+            elif self.path == "/stats":
+                self._json(200, engine.stats())
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/v1/transfer":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                content = self._decode_input(req, "content")
+                style = self._decode_input(req, "style")
+                done = engine.submit(content, style,
+                                     seed=int(req.get("seed", 0)))
+                out = done.get(timeout=600)
+                if isinstance(out, Exception):
+                    raise out
+                resp = {"image_png_b64": _image_to_png_b64(out["image"])}
+                if "audio" in out:
+                    resp["audio_wav_b64"] = _audio_to_wav_b64(
+                        out["audio"], ap.target_sr)
+                self._json(200, resp)
+            except KeyError as e:
+                self._json(400, {"error": f"missing field: {e}"})
+            except Exception as e:  # noqa: BLE001 — serving boundary
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def _decode_input(self, req: dict, kind: str) -> np.ndarray:
+            if f"{kind}_png_b64" in req:
+                return _png_to_image(base64.b64decode(req[f"{kind}_png_b64"]))
+            if f"{kind}_wav_b64" in req:
+                return _wav_to_image(base64.b64decode(req[f"{kind}_wav_b64"]),
+                                     ap)
+            raise KeyError(f"{kind}_png_b64 or {kind}_wav_b64")
+
+    return Handler
+
+
+def serve(engine, host: str = "127.0.0.1", port: int = 8787,
+          block: bool = True) -> Optional[ThreadingHTTPServer]:
+    """Start the HTTP server over a warmed engine."""
+    engine.start()
+    httpd = ThreadingHTTPServer((host, port), make_handler(engine))
+    if block:
+        try:
+            httpd.serve_forever()
+        finally:
+            engine.stop()
+        return None
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd

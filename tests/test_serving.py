@@ -1,0 +1,109 @@
+"""Serving tests: microbatching engine + HTTP server end-to-end on a tiny
+model (CPU)."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from music_style_transfer_ldm_tpu.models.ldm import LDM
+from music_style_transfer_ldm_tpu.serving import (
+    EngineConfig, InferenceEngine, serve,
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model = LDM(latent_dim=32, num_timesteps=20)
+    x = jnp.zeros((1, 128, 128, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        x, x, jnp.zeros((1,), jnp.int32))
+    cfg = EngineConfig(steps=4, batch_buckets=(1, 2, 4), max_wait_ms=20.0,
+                       griffin_lim_iters=2, nnls_iters=4)
+    eng = InferenceEngine(model, variables, cfg)
+    eng.warmup()
+    return eng
+
+
+def test_transfer_batch_shapes(engine, rng):
+    content = rng.rand(3, 128, 128, 1).astype(np.float32)
+    style = rng.rand(3, 128, 128, 1).astype(np.float32)
+    out = engine.transfer_batch(content, style)
+    assert out["image"].shape == (3, 128, 128, 1)
+    assert out["audio"].shape == (3, 3 * 22050)
+    assert np.isfinite(out["audio"]).all()
+    # padding bookkeeping: 3 -> bucket 4
+    assert engine.stats()["padded_slots"] >= 1
+
+
+def test_microbatching_coalesces_requests(engine, rng):
+    engine.start()
+    try:
+        dones = [engine.submit(
+            rng.rand(128, 128, 1).astype(np.float32),
+            rng.rand(128, 128, 1).astype(np.float32)) for _ in range(4)]
+        outs = [d.get(timeout=120) for d in dones]
+        for o in outs:
+            assert not isinstance(o, Exception)
+            assert o["image"].shape == (128, 128, 1)
+        stats = engine.stats()
+        assert stats["requests"] >= 4
+        # 4 concurrent requests should need fewer than 4 batches
+        assert stats["batches"] < stats["requests"]
+    finally:
+        engine.stop()
+
+
+def test_http_server_end_to_end(engine, rng):
+    httpd = serve(engine, host="127.0.0.1", port=0, block=False)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.fromarray(rng.randint(0, 256, (128, 130), np.uint8),
+                        mode="L").save(buf, format="PNG")
+        png_b64 = base64.b64encode(buf.getvalue()).decode()
+        req = json.dumps({"content_png_b64": png_b64,
+                          "style_png_b64": png_b64}).encode()
+        r = urllib.request.urlopen(
+            urllib.request.Request(f"{base}/v1/transfer", data=req,
+                                   headers={"Content-Type":
+                                            "application/json"}),
+            timeout=300)
+        resp = json.loads(r.read())
+        assert "image_png_b64" in resp and "audio_wav_b64" in resp
+        img = Image.open(io.BytesIO(base64.b64decode(resp["image_png_b64"])))
+        assert img.size == (128, 128)
+        from scipy.io import wavfile
+        sr, wav = wavfile.read(io.BytesIO(
+            base64.b64decode(resp["audio_wav_b64"])))
+        assert sr == 22050 and wav.shape[0] == 3 * 22050
+
+        # probe: missing field -> 400
+        bad = json.dumps({"style_png_b64": png_b64}).encode()
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(f"{base}/v1/transfer", data=bad,
+                                       headers={"Content-Type":
+                                                "application/json"}),
+                timeout=60)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            assert "requests" in json.loads(r.read())
+    finally:
+        httpd.shutdown()
+        engine.stop()
