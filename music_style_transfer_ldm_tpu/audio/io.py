@@ -24,15 +24,18 @@ def have_ffmpeg() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
-def _to_float_mono(data: np.ndarray) -> np.ndarray:
+def _to_float(data: np.ndarray) -> np.ndarray:
     if data.dtype == np.int16:
-        y = data.astype(np.float32) / 32768.0
-    elif data.dtype == np.int32:
-        y = data.astype(np.float32) / 2147483648.0
-    elif data.dtype == np.uint8:
-        y = (data.astype(np.float32) - 128.0) / 128.0
-    else:
-        y = data.astype(np.float32)
+        return data.astype(np.float32) / 32768.0
+    if data.dtype == np.int32:
+        return data.astype(np.float32) / 2147483648.0
+    if data.dtype == np.uint8:
+        return (data.astype(np.float32) - 128.0) / 128.0
+    return data.astype(np.float32)
+
+
+def _to_float_mono(data: np.ndarray) -> np.ndarray:
+    y = _to_float(data)
     if y.ndim == 2:  # [T, C] -> mono mix (librosa to_mono semantics)
         y = y.mean(axis=1)
     return y
@@ -55,14 +58,25 @@ def load_audio(path: str | Path, sr: int = 22050, mono: bool = True
     path = Path(path)
     if path.suffix.lower() == ".wav":
         orig_sr, data = wavfile.read(str(path))
-        y = _to_float_mono(data) if mono else _to_float_mono(data)
-        return resample(y, int(orig_sr), sr), sr
+        if mono:
+            y = _to_float_mono(data)
+            return resample(y, int(orig_sr), sr), sr
+        y = _to_float(data)
+        if y.ndim == 1:
+            return resample(y, int(orig_sr), sr), sr
+        # [T, C] -> resample per channel, keep channels.
+        chans = [resample(y[:, c], int(orig_sr), sr)
+                 for c in range(y.shape[1])]
+        return np.stack(chans, axis=1), sr
     if not have_ffmpeg():
         raise RuntimeError(
             f"Cannot decode {path.suffix} without ffmpeg; install ffmpeg or "
             "provide WAV input.")
     cmd = ["ffmpeg", "-v", "error", "-i", str(path), "-f", "f32le",
-           "-acodec", "pcm_f32le", "-ac", "1", "-ar", str(sr), "-"]
+           "-acodec", "pcm_f32le", "-ar", str(sr)]
+    if mono:
+        cmd += ["-ac", "1"]
+    cmd += ["-"]
     out = subprocess.run(cmd, capture_output=True, check=True).stdout
     return np.frombuffer(out, dtype=np.float32).copy(), sr
 

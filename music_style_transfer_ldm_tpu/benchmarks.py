@@ -1,0 +1,136 @@
+"""Headline benchmark (library form). Prints ONE JSON line to stdout.
+
+Primary metric: DDIM denoise step latency on the flagship LDM (bf16,
+batch 1, 50-step style-conditioned transfer as one fused lax.scan),
+measured on whatever accelerator jax selects (the real TPU chip under the
+driver). Baseline: the driver's north-star target of 50 ms/step
+(BASELINE.md; the reference publishes no numbers of its own —
+vs_baseline > 1 means faster than the target).
+
+Secondary numbers (stderr): full 10 s clip end-to-end transfer
+(mel -> VAE encode -> 50-step DDIM -> decode -> NNLS + Griffin-Lim audio),
+target < 5 s.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _sync(out) -> None:
+    """Force real completion: fetch one element to host.
+
+    Through the axon relay, block_until_ready can return before the device
+    work drains; a host readback cannot lie.
+    """
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
+def timed(fn, *args, repeats: int = 3, warmup: int = 25):
+    out = fn(*args)
+    _sync(out)  # compile
+    for _ in range(warmup):  # relay warm-up: first ~20 calls are slow
+        out = fn(*args)
+    _sync(out)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _sync(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def main() -> None:
+    from music_style_transfer_ldm_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+    enable_compilation_cache()
+    from music_style_transfer_ldm_tpu.config import default_config
+    from music_style_transfer_ldm_tpu.models.ldm import (
+        LDM, content_style_transfer,
+    )
+    from music_style_transfer_ldm_tpu.audio import melspectrogram
+    from music_style_transfer_ldm_tpu.audio.mel import power_to_db
+    from music_style_transfer_ldm_tpu.audio.quantize import db_to_unit_image
+    from music_style_transfer_ldm_tpu.audio.griffinlim import mel_to_audio
+    from music_style_transfer_ldm_tpu.audio.mel import db_to_power
+    from music_style_transfer_ldm_tpu.audio.quantize import unit_image_to_db
+
+    log(f"devices: {jax.devices()}")
+    cfg = default_config()
+    model = LDM(latent_dim=cfg.model.latent_dim,
+                num_timesteps=cfg.diffusion.num_timesteps,
+                dtype=jnp.bfloat16)
+
+    S = cfg.model.image_size
+    content = jnp.asarray(np.random.RandomState(0).rand(1, S, S, 1),
+                          jnp.float32)
+    style = jnp.asarray(np.random.RandomState(1).rand(1, S, S, 1),
+                        jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        content, style, jnp.zeros((1,), jnp.int32))
+
+    steps = 50
+
+    def transfer(content, style):
+        decoded, _, _ = content_style_transfer(
+            model, variables, jax.random.PRNGKey(2), content, style,
+            num_timesteps=steps, eta=0.0)
+        return decoded
+
+    transfer_jit = jax.jit(transfer)
+    total_s, _ = timed(transfer_jit, content, style)
+    # The scan takes steps-1 UNet evaluations (ref loop semantics).
+    step_ms = total_s / (steps - 1) * 1000.0
+    log(f"50-step transfer: {total_s*1000:.1f} ms total, "
+        f"{step_ms:.2f} ms/step")
+
+    # ---- secondary: 10 s clip end-to-end (4 x 3 s chunks as one batch) ----
+    sr = cfg.audio.sample_rate
+    clip = np.random.RandomState(2).randn(4, 3 * sr).astype(np.float32) * 0.1
+    style4 = jnp.tile(style, (4, 1, 1, 1))
+
+    def end_to_end(chunks, style_img):
+        mel_power = melspectrogram(chunks, sr=sr, n_mels=128)
+        db = power_to_db(mel_power, batched=True)
+        imgs = db_to_unit_image(db)[:, :, :128, None]
+        decoded, _, _ = content_style_transfer(
+            model, variables, jax.random.PRNGKey(3), imgs, style_img,
+            num_timesteps=steps, eta=0.0)
+        out_db = unit_image_to_db(decoded[:, :, :, 0])
+        # pad back to 130 frames with silence columns for inversion
+        out_db = jnp.pad(out_db, ((0, 0), (0, 0), (0, 2)),
+                         constant_values=-80.0)
+        audio = mel_to_audio(db_to_power(out_db), sr=sr, n_iter=32,
+                             nnls_iters=64, length=3 * sr)
+        return audio
+
+    e2e_jit = jax.jit(end_to_end)
+    e2e_s, audio = timed(e2e_jit, jnp.asarray(clip), style4, repeats=2)
+    log(f"10s clip end-to-end (mel->encode->50-step DDIM->decode->GL): "
+        f"{e2e_s:.3f} s (target < 5 s); audio {audio.shape}")
+
+    baseline_ms = 50.0  # BASELINE.md north-star: < 50 ms/DDIM step
+    print(json.dumps({
+        "metric": "ddim_step_ms",
+        "value": round(step_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / step_ms, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

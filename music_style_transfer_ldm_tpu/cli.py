@@ -270,9 +270,8 @@ def cmd_serve(args) -> int:
 
 
 def cmd_bench(_args) -> int:
-    import runpy
-    runpy.run_path(str(Path(__file__).resolve().parent.parent / "bench.py"),
-                   run_name="__main__")
+    from music_style_transfer_ldm_tpu.benchmarks import main as bench_main
+    bench_main()
     return 0
 
 

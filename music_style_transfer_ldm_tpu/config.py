@@ -69,6 +69,10 @@ class TrainConfig:
     perceptual_weight: float = 0.1    # ref: loss.py:45
     kl_weight: float = 0.01           # ref: loss.py:45
     compression_feature_extractor: str = "lpips"  # ref: config.py:17
+    # The reference's VGGish style loss runs under torch.no_grad
+    # (loss.py:78): the weight-3.0 style term contributes a value but zero
+    # gradient.  True reproduces that; False lets the style term train.
+    style_loss_stop_gradient: bool = True
     training_iteration_noise: int = 50  # ref: config.py:18 (vestigial scaling)
     train_split: float = 0.8          # ref: dataset.py:309
     seed: int = 0

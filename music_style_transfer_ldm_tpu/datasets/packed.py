@@ -29,15 +29,19 @@ _SO_PATH = _NATIVE_DIR / "libspecpack.so"
 
 
 def build_native(force: bool = False) -> Optional[Path]:
-    """Compile libspecpack.so with make/g++; None if toolchain missing."""
-    if _SO_PATH.exists() and not force:
-        return _SO_PATH
+    """Compile libspecpack.so with make/g++; None if toolchain missing.
+
+    Always invokes make (a no-op when the .so is newer than the source) so
+    a stale library never shadows updated C++.
+    """
     try:
-        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                       capture_output=True)
+        cmd = ["make", "-C", str(_NATIVE_DIR)]
+        if force:
+            cmd.insert(1, "-B")
+        subprocess.run(cmd, check=True, capture_output=True)
         return _SO_PATH if _SO_PATH.exists() else None
     except (OSError, subprocess.CalledProcessError):
-        return None
+        return _SO_PATH if _SO_PATH.exists() else None
 
 
 def _load_native() -> Optional[ctypes.CDLL]:
@@ -54,6 +58,7 @@ def _load_native() -> Optional[ctypes.CDLL]:
     lib.spk_class_names.restype = ctypes.c_uint32
     lib.spk_class_names.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                     ctypes.c_uint32]
+    lib.spk_labels.restype = ctypes.c_int
     lib.spk_labels.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                ctypes.c_int64, ctypes.c_void_p]
     lib.spk_gather_f32.restype = ctypes.c_int
@@ -171,18 +176,31 @@ class PackedSpectrogramDataset:
         idx = np.ascontiguousarray(indices, np.int64)
         n = len(idx)
         c = self.crop
+        if c > self.height or c > self.width:
+            raise ValueError(
+                f"crop {c} larger than stored image "
+                f"{self.height}x{self.width}")
         if self._handle:
             out = np.empty((n, c, c), np.float32)
             labels = np.empty((n,), np.int32)
             rc = self._lib.spk_gather_f32(
                 self._handle, idx.ctypes.data_as(ctypes.c_void_p), n, c, c,
                 out.ctypes.data_as(ctypes.c_void_p))
+            if rc == -2:
+                raise IndexError(
+                    f"index out of range for pack of {self.n} items")
             if rc != 0:
                 raise ValueError("crop larger than stored image")
-            self._lib.spk_labels(self._handle,
-                                 idx.ctypes.data_as(ctypes.c_void_p), n,
-                                 labels.ctypes.data_as(ctypes.c_void_p))
+            rc = self._lib.spk_labels(
+                self._handle, idx.ctypes.data_as(ctypes.c_void_p), n,
+                labels.ctypes.data_as(ctypes.c_void_p))
+            if rc != 0:
+                raise IndexError(
+                    f"index out of range for pack of {self.n} items")
             return out[..., None], labels
+        if n and (idx.min() < 0 or idx.max() >= self.n):
+            raise IndexError(
+                f"index out of range for pack of {self.n} items")
         imgs = self._images[idx][:, :c, :c]
         return (imgs.astype(np.float32) / 255.0)[..., None], \
             self._labels[idx].astype(np.int32)

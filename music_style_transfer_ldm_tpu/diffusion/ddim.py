@@ -40,8 +40,6 @@ def transfer_time_grid(num_timesteps: int) -> np.ndarray:
     return np.linspace(num_timesteps - 1, 0, num_timesteps).astype(np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("denoise_fn", "eta",
-                                             "return_logs"))
 def ddim_sample(denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],
                 schedule: DiffusionSchedule, x: jax.Array,
                 times: jax.Array, eta: float = 0.0,
@@ -55,6 +53,10 @@ def ddim_sample(denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],
       content for SDEdit transfer).
     times: [S] int32 descending grid; S-1 update steps are taken
       (ref loops ``for i in range(len(times)-1)``, model.py:431,:525).
+
+    NOT jitted here: jit the caller (models/ldm.py compiles each sampler
+    once per (model, steps, eta) — jitting on denoise_fn directly would
+    key the cache on closure identity and recompile every call).
 
     Returns (x_final, logs) where logs stacks per-step pred_x0/noise_pred
     along a leading step axis when return_logs=True.

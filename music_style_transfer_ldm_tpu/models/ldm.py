@@ -15,6 +15,7 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -115,6 +116,11 @@ class LDM(nn.Module):
 
 
 # ---------------- sampling wrappers (pure functions over variables) -------
+#
+# The jitted implementations take `model` as a static argument: linen
+# modules are frozen/hashable, so each (model, steps, eta, return_logs)
+# combination compiles exactly once and is reused across calls — building
+# a fresh denoise closure per call would defeat jax's jit cache.
 
 
 def _denoise_fn(model: LDM, variables, style_embedding):
@@ -122,6 +128,24 @@ def _denoise_fn(model: LDM, variables, style_embedding):
         return model.apply(variables, x, t, style_embedding,
                            method=LDM.denoise).astype(jnp.float32)
     return fn
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("model", "timesteps", "eta",
+                                    "return_logs", "z_shape"))
+def _style_sample_impl(model: LDM, variables, key, z_shape, style_spec,
+                       timesteps, eta, return_logs):
+    sched = model.schedule
+    z_t = jax.random.normal(key, z_shape, jnp.float32)
+    style_embedding = model.apply(variables, style_spec,
+                                  method=LDM.style_embed)
+    times = generation_time_grid(model.num_timesteps, timesteps)
+    sampled, logs = ddim_sample(
+        _denoise_fn(model, variables, style_embedding), sched, z_t, times,
+        eta=eta, return_logs=return_logs)
+    decoded = model.apply(variables, sampled, method=LDM.decode)
+    decoded = (decoded.astype(jnp.float32) + 1.0) / 2.0
+    return decoded, logs
 
 
 def style_ddim_sample(model: LDM, variables, key: jax.Array,
@@ -134,17 +158,41 @@ def style_ddim_sample(model: LDM, variables, key: jax.Array,
 
     Returns decoded spectrogram images in [0, 1] (NHWC).
     """
+    return _style_sample_impl(model, variables, key, tuple(z_shape),
+                              style_spec.astype(jnp.float32), timesteps,
+                              float(eta), return_logs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("model", "num_timesteps", "eta",
+                                    "return_logs"))
+def _transfer_impl(model: LDM, variables, key, content_spec, style_spec,
+                   num_timesteps, eta, return_logs):
     sched = model.schedule
-    z_t = jax.random.normal(key, z_shape, jnp.float32)
-    style_embedding = model.apply(variables, style_spec,
+    z_0 = model.apply(variables, content_spec.astype(jnp.float32),
+                      method=LDM.encode).astype(jnp.float32)
+    batch = content_spec.shape[0]
+    t = jnp.full((batch,), num_timesteps - 1, jnp.int32)
+    if key.ndim > 1:
+        # Per-item keys: each request's noise depends only on its own key,
+        # so results are reproducible regardless of microbatch composition.
+        eps = jax.vmap(
+            lambda k, z: jax.random.normal(k, z.shape, jnp.float32))(key, z_0)
+        z_t = sched.q_sample_with_noise(z_0, t, eps)
+    else:
+        z_t, _ = sched.q_sample(key, z_0, t)
+
+    style_embedding = model.apply(variables, style_spec.astype(jnp.float32),
                                   method=LDM.style_embed)
-    times = generation_time_grid(model.num_timesteps, timesteps)
-    sampled, logs = ddim_sample(_denoise_fn(model, variables, style_embedding),
-                                sched, z_t, times, eta=eta,
-                                return_logs=return_logs)
+    times = transfer_time_grid(num_timesteps)
+    sampled, logs = ddim_sample(
+        _denoise_fn(model, variables, style_embedding), sched, z_t, times,
+        eta=eta, return_logs=return_logs)
+
     decoded = model.apply(variables, sampled, method=LDM.decode)
     decoded = (decoded.astype(jnp.float32) + 1.0) / 2.0
-    return decoded, logs
+    z_t_decoded = model.apply(variables, z_t, method=LDM.decode)
+    return decoded, z_t_decoded, logs
 
 
 def content_style_transfer(model: LDM, variables, key: jax.Array,
@@ -157,23 +205,18 @@ def content_style_transfer(model: LDM, variables, key: jax.Array,
 
     Encodes content, partially noises it to t = num_timesteps - 1, then
     denoises over a unit-step grid conditioned on the style embedding.
+    ``key`` may be a single PRNG key or a batch of per-item keys [B, 2]
+    (microbatch-stable reproducibility).  num_timesteps must not exceed the
+    schedule length: the reference silently indexes out of range there
+    (its own default of 250 crashes against T=200, model.py:468); here it
+    is a clear error instead of silent clamping.
     Returns (decoded, z_t_decoded, logs); decoded images are in [0, 1].
     """
-    sched = model.schedule
-    z_0 = model.apply(variables, content_spec.astype(jnp.float32),
-                      method=LDM.encode)
-    batch = content_spec.shape[0]
-    t = jnp.full((batch,), num_timesteps - 1, jnp.int32)
-    z_t, _ = sched.q_sample(key, z_0.astype(jnp.float32), t)
-
-    style_embedding = model.apply(variables, style_spec.astype(jnp.float32),
-                                  method=LDM.style_embed)
-    times = transfer_time_grid(num_timesteps)
-    sampled, logs = ddim_sample(_denoise_fn(model, variables, style_embedding),
-                                sched, z_t, times, eta=eta,
-                                return_logs=return_logs)
-
-    decoded = model.apply(variables, sampled, method=LDM.decode)
-    decoded = (decoded.astype(jnp.float32) + 1.0) / 2.0
-    z_t_decoded = model.apply(variables, z_t, method=LDM.decode)
-    return decoded, z_t_decoded, logs
+    if num_timesteps > model.num_timesteps:
+        raise ValueError(
+            f"num_timesteps={num_timesteps} exceeds the schedule length "
+            f"T={model.num_timesteps}")
+    return _transfer_impl(model, variables, key,
+                          content_spec.astype(jnp.float32),
+                          style_spec.astype(jnp.float32), num_timesteps,
+                          float(eta), return_logs)

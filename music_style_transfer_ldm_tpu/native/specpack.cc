@@ -64,10 +64,23 @@ struct Pack {
 size_t align8(size_t x) { return (x + 7) & ~size_t(7); }
 
 // ---- persistent worker pool (avoids per-batch thread spawn cost) ---------
+//
+// Each ParallelFor allocates its own Task (shared_ptr): workers always
+// snapshot the task they joined, so a thread that wakes late — or one that
+// finishes the final item and loops once more — draws indices from *its*
+// task's exhausted counter and exits, never from a newer batch and never
+// through a dangling fn pointer.
 
 class Pool {
  public:
-  explicit Pool(int n) : stop_(false), epoch_(0), pending_(0) {
+  struct Task {
+    const std::function<void(int)>* fn;
+    std::atomic<int> next{0};
+    int total = 0;
+    std::atomic<int> pending{0};
+  };
+
+  explicit Pool(int n) : stop_(false), epoch_(0) {
     for (int i = 0; i < n; ++i)
       workers_.emplace_back([this] { Run(); });
   }
@@ -82,35 +95,30 @@ class Pool {
 
   // Run fn(i) for i in [0, n) across the pool; blocks until done.
   void ParallelFor(int n, const std::function<void(int)>& fn) {
+    if (n <= 0) return;
+    auto task = std::make_shared<Task>();
+    task->fn = &fn;
+    task->total = n;
+    task->pending.store(n);
     {
       std::lock_guard<std::mutex> g(m_);
-      fn_ = &fn;
-      next_.store(0);
-      total_ = n;
-      pending_ = n;
+      task_ = task;
       ++epoch_;
     }
     cv_.notify_all();
-    // The calling thread participates too.
-    Work();
+    RunTask(*task);  // the calling thread participates too
     std::unique_lock<std::mutex> lk(m_);
-    done_cv_.wait(lk, [this] { return pending_ == 0; });
-    fn_ = nullptr;
+    done_cv_.wait(lk, [&] { return task->pending.load() == 0; });
+    if (task_ == task) task_ = nullptr;  // fn is about to go out of scope
   }
 
  private:
-  void Work() {
-    const std::function<void(int)>* fn;
-    {
-      std::lock_guard<std::mutex> g(m_);
-      fn = fn_;
-    }
-    if (!fn) return;
+  void RunTask(Task& t) {
     while (true) {
-      int i = next_.fetch_add(1);
-      if (i >= total_) break;
-      (*fn)(i);
-      if (pending_.fetch_sub(1) == 1) {
+      int i = t.next.fetch_add(1);
+      if (i >= t.total) break;
+      (*t.fn)(i);
+      if (t.pending.fetch_sub(1) == 1) {
         std::lock_guard<std::mutex> g(m_);
         done_cv_.notify_all();
       }
@@ -120,13 +128,15 @@ class Pool {
   void Run() {
     uint64_t seen = 0;
     while (true) {
+      std::shared_ptr<Task> task;
       {
         std::unique_lock<std::mutex> lk(m_);
         cv_.wait(lk, [&] { return stop_ || epoch_ != seen; });
         if (stop_) return;
         seen = epoch_;
+        task = task_;
       }
-      Work();
+      if (task) RunTask(*task);
     }
   }
 
@@ -135,10 +145,7 @@ class Pool {
   std::condition_variable cv_, done_cv_;
   bool stop_;
   uint64_t epoch_;
-  const std::function<void(int)>* fn_ = nullptr;
-  std::atomic<int> next_{0};
-  int total_ = 0;
-  std::atomic<int> pending_;
+  std::shared_ptr<Task> task_;
 };
 
 Pool* pool() {
@@ -225,19 +232,31 @@ uint32_t spk_class_names(void* h, char* buf, uint32_t cap) {
   return static_cast<uint32_t>(joined.size());
 }
 
-// Gather labels for a batch of indices.
-void spk_labels(void* h, const int64_t* idx, int64_t n, int32_t* out) {
+namespace {
+bool indices_ok(const Pack* p, const int64_t* idx, int64_t n) {
+  for (int64_t i = 0; i < n; ++i)
+    if (idx[i] < 0 || idx[i] >= int64_t(p->hdr.n_items)) return false;
+  return true;
+}
+}  // namespace
+
+// Gather labels for a batch of indices; -2 on out-of-range index.
+int spk_labels(void* h, const int64_t* idx, int64_t n, int32_t* out) {
   auto* p = static_cast<Pack*>(h);
+  if (!indices_ok(p, idx, n)) return -2;
   for (int64_t i = 0; i < n; ++i) out[i] = p->labels[idx[i]];
+  return 0;
 }
 
 // Gather a batch: out[n, crop_h, crop_w] float32 = u8 / 255, cropped from
 // the top-left of each stored image. Parallel over items.
+// Returns -1 on bad crop, -2 on out-of-range index.
 int spk_gather_f32(void* h, const int64_t* idx, int64_t n, int32_t crop_h,
                    int32_t crop_w, float* out) {
   auto* p = static_cast<Pack*>(h);
   const int64_t H = p->hdr.height, W = p->hdr.width;
   if (crop_h > H || crop_w > W) return -1;
+  if (!indices_ok(p, idx, n)) return -2;
   const int64_t item_out = int64_t(crop_h) * crop_w;
   static float lut[256];
   static std::once_flag once;
@@ -259,6 +278,7 @@ int spk_gather_f32(void* h, const int64_t* idx, int64_t n, int32_t crop_h,
 // Raw uint8 gather (no conversion) for custom host pipelines.
 int spk_gather_u8(void* h, const int64_t* idx, int64_t n, uint8_t* out) {
   auto* p = static_cast<Pack*>(h);
+  if (!indices_ok(p, idx, n)) return -2;
   const int64_t item = int64_t(p->hdr.height) * p->hdr.width;
   pool()->ParallelFor(static_cast<int>(n), [&](int i) {
     std::memcpy(out + int64_t(i) * item, p->data + size_t(idx[i]) * item,

@@ -64,9 +64,12 @@ class InferenceEngine:
         )
         cfg = self.config
 
-        def fn(content, style, key):
+        def fn(content, style, keys):
+            # keys: per-item PRNG keys [B, 2] — each request's result is
+            # deterministic in its own seed regardless of how requests were
+            # coalesced into batches.
             decoded, _, _ = content_style_transfer(
-                self.model, self.variables, key, content, style,
+                self.model, self.variables, keys, content, style,
                 num_timesteps=cfg.steps, eta=cfg.eta)
             out = {"image": decoded}
             if cfg.invert_audio:
@@ -95,7 +98,8 @@ class InferenceEngine:
         for b in self.config.batch_buckets:
             f = self._build_transfer(b)
             x = jnp.zeros((b, S, S, 1), jnp.float32)
-            out = f(x, x, jax.random.PRNGKey(0))
+            keys = jax.vmap(jax.random.PRNGKey)(jnp.zeros((b,), jnp.int32))
+            out = f(x, x, keys)
             jax.tree_util.tree_map(
                 lambda a: np.asarray(jax.device_get(a.ravel()[0])), out)
             self._transfer_fns[b] = f
@@ -103,16 +107,26 @@ class InferenceEngine:
     # ---------------- synchronous API ---------------------------------------
 
     def transfer_batch(self, content: np.ndarray, style: np.ndarray,
-                       seed: int = 0) -> dict:
-        """[B, 128, 128, 1] content+style -> {'image': ..., 'audio': ...}."""
+                       seeds=0) -> dict:
+        """[B, 128, 128, 1] content+style -> {'image': ..., 'audio': ...}.
+
+        seeds: scalar applied to all items, or one seed per item.  Batches
+        larger than the biggest compiled bucket are split and the results
+        concatenated.
+        """
+        if not self._transfer_fns:
+            self.warmup()
         b = content.shape[0]
-        bucket = next((k for k in sorted(self._transfer_fns) if k >= b),
-                      None)
-        if bucket is None:
-            if not self._transfer_fns:
-                self.warmup()
-                return self.transfer_batch(content, style, seed)
-            bucket = max(self._transfer_fns)
+        seeds = np.broadcast_to(np.asarray(seeds, np.int64), (b,))
+        max_bucket = max(self._transfer_fns)
+        if b > max_bucket:
+            parts = [self.transfer_batch(content[s:s + max_bucket],
+                                         style[s:s + max_bucket],
+                                         seeds[s:s + max_bucket])
+                     for s in range(0, b, max_bucket)]
+            return {k: np.concatenate([p[k] for p in parts])
+                    for k in parts[0]}
+        bucket = next(k for k in sorted(self._transfer_fns) if k >= b)
         pad = bucket - b
         self._stats["padded_slots"] += pad
         if pad:
@@ -120,9 +134,10 @@ class InferenceEngine:
                 [content, np.repeat(content[-1:], pad, axis=0)])
             style = np.concatenate(
                 [style, np.repeat(style[-1:], pad, axis=0)])
+            seeds = np.concatenate([seeds, np.repeat(seeds[-1:], pad)])
+        keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
         out = self._transfer_fns[bucket](
-            jnp.asarray(content), jnp.asarray(style),
-            jax.random.PRNGKey(seed))
+            jnp.asarray(content), jnp.asarray(style), keys)
         self._stats["batches"] += 1
         return {k: np.asarray(v)[:b] for k, v in out.items()}
 
@@ -172,8 +187,9 @@ class InferenceEngine:
                     break
             content = np.stack([r[0] for r in batch])
             style = np.stack([r[1] for r in batch])
+            seeds = np.asarray([r[2] for r in batch], np.int64)
             try:
-                out = self.transfer_batch(content, style, seed=batch[0][2])
+                out = self.transfer_batch(content, style, seeds=seeds)
                 for i, (_, _, _, done) in enumerate(batch):
                     done.put({k: v[i] for k, v in out.items()})
             except Exception as e:  # noqa: BLE001 — deliver, don't die

@@ -17,9 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from music_style_transfer_ldm_tpu.losses.basic import compression_loss
-from music_style_transfer_ldm_tpu.losses.vggish import (
-    VGGishFeatures, vggish_feature_distance,
-)
+from music_style_transfer_ldm_tpu.losses.feature import build_feature_metric
 from music_style_transfer_ldm_tpu.models.autoencoder import (
     SpectrogramDecoder, SpectrogramEncoder,
 )
@@ -39,15 +37,18 @@ class AETrainer:
     """Encoder/decoder pretrainer (ref: train_autoencoder)."""
 
     def __init__(self, config, mesh=None, perceptual: bool = True,
-                 vggish_params=None):
+                 feature_params=None):
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh(
             config.mesh.mesh_shape)
         cm = config.model
         self.encoder = SpectrogramEncoder(latent_dim=cm.latent_dim)
         self.decoder = SpectrogramDecoder(latent_dim=cm.latent_dim)
-        self.vggish = VGGishFeatures() if perceptual else None
-        self._vggish_params = vggish_params
+        # Perceptual metric per config (reference dispatcher semantics:
+        # 'lpips' is the shipped default, ref: config.py:17, loss.py:24-30).
+        self.feature = (build_feature_metric(
+            config.train.compression_feature_extractor,
+            params=feature_params) if perceptual else None)
         self.perceptual_weight = config.train.perceptual_weight
         self.kl_weight = config.train.kl_weight
 
@@ -73,9 +74,8 @@ class AETrainer:
         params = {"encoder": ev["params"], "decoder": dv["params"]}
         batch_stats = {"encoder": ev["batch_stats"],
                        "decoder": dv["batch_stats"]}
-        if self.vggish is not None and self._vggish_params is None:
-            self._vggish_params = self.vggish.init(
-                k3, x)["params"]
+        if self.feature is not None:
+            self.feature.init(seed=0, input_shape=tuple(x.shape))
         params = shard_params(params, self.mesh)
         batch_stats = shard_params(batch_stats, self.mesh)
         opt_state = self.tx.init(params)
@@ -102,7 +102,7 @@ class AETrainer:
                          "decoder": dec_updates["batch_stats"]}
         return z, recon, new_stats
 
-    def _loss(self, params, batch_stats, x, vggish_params, train: bool):
+    def _loss(self, params, batch_stats, x, feature_params, train: bool):
         z, recon, new_stats = self._forward(params, batch_stats, x, train)
         # Decoder outputs [-1, 1]; inputs are [0, 1] — compare in [0, 1]
         # like the reference (it feeds tanh output straight to MSE against
@@ -110,16 +110,16 @@ class AETrainer:
         # objective, noting the deviation from the reference quirk).
         recon01 = (recon + 1.0) / 2.0
         feature_loss = None
-        if self.vggish is not None:
-            feature_loss = lambda a, b: vggish_feature_distance(
-                self.vggish, vggish_params, a, b)
+        if self.feature is not None:
+            feature_loss = lambda a, b: self.feature.distance(
+                feature_params, a, b)
         loss = compression_loss(x, recon01, z, feature_loss,
                                 self.perceptual_weight, self.kl_weight)
         return loss, new_stats
 
-    def _step(self, state: TrainState, x, vggish_params):
+    def _step(self, state: TrainState, x, feature_params):
         def loss_fn(params):
-            return self._loss(params, state.batch_stats, x, vggish_params,
+            return self._loss(params, state.batch_stats, x, feature_params,
                               train=True)
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -130,9 +130,9 @@ class AETrainer:
         return TrainState(params=params, batch_stats=new_stats,
                           opt_state=opt_state, step=state.step + 1), loss
 
-    def _eval(self, state: TrainState, x, vggish_params):
+    def _eval(self, state: TrainState, x, feature_params):
         loss, _ = self._loss(state.params, state.batch_stats, x,
-                             vggish_params, train=False)
+                             feature_params, train=False)
         return loss
 
     # ---------------- epoch driver -----------------------------------------
@@ -151,7 +151,7 @@ class AETrainer:
             self.config.train.seed)
         if resume_from is not None:
             state = ckpt_lib.restore_train_state(resume_from, state)
-        vgg = self._vggish_params
+        vgg = self.feature.params if self.feature is not None else None
         best_val = float("inf")
 
         for epoch in range(num_epochs):

@@ -25,9 +25,7 @@ import numpy as np
 from music_style_transfer_ldm_tpu.losses.basic import (
     compression_loss, diffusion_loss, style_loss,
 )
-from music_style_transfer_ldm_tpu.losses.vggish import (
-    VGGishFeatures, vggish_feature_distance,
-)
+from music_style_transfer_ldm_tpu.losses.feature import build_feature_metric
 from music_style_transfer_ldm_tpu.models.ldm import LDM
 from music_style_transfer_ldm_tpu.parallel.mesh import make_mesh
 from music_style_transfer_ldm_tpu.parallel.sharding import (
@@ -50,8 +48,8 @@ def _freeze_encoder_mask(params):
 class LDMTrainer:
     """ref: models/train.py:141 LDMTrainer."""
 
-    def __init__(self, config, mesh=None, vggish_params=None,
-                 perceptual: bool = True):
+    def __init__(self, config, mesh=None, perceptual: bool = True,
+                 compression_feature_params=None, style_feature_params=None):
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh(
             config.mesh.mesh_shape)
@@ -63,9 +61,18 @@ class LDMTrainer:
                          unet_num_filters=cm.unet_num_filters,
                          style_num_filters=cm.style_num_filters,
                          dtype=compute_dtype)
-        self.vggish = VGGishFeatures(dtype=compute_dtype) if perceptual \
-            else None
-        self._vggish_params = vggish_params
+        # Reference dispatcher semantics (ref: loss.py:24-30, config.py:17):
+        # the compression perceptual term uses the configured extractor
+        # (default 'lpips', gradients flow); the style term always uses
+        # VGGish, whose reference implementation runs under no_grad — see
+        # TrainConfig.style_loss_stop_gradient.
+        self.compression_feature = (build_feature_metric(
+            ct.compression_feature_extractor, dtype=compute_dtype,
+            params=compression_feature_params) if perceptual else None)
+        self.style_feature = (build_feature_metric(
+            "vggish", dtype=compute_dtype,
+            params=style_feature_params) if perceptual else None)
+        self.style_loss_stop_gradient = ct.style_loss_stop_gradient
         self.style_loss_weight = ct.style_loss_weight
         self.perceptual_weight = ct.perceptual_weight
         self.kl_weight = ct.kl_weight
@@ -106,9 +113,12 @@ class LDMTrainer:
             batch_stats["decoder"] = jax.tree_util.tree_map(
                 jnp.asarray, ae_s["decoder"])
 
-        if self.vggish is not None and self._vggish_params is None:
-            self._vggish_params = self.vggish.init(
-                jax.random.PRNGKey(seed + 2), x)["params"]
+        if self.compression_feature is not None:
+            self.compression_feature.init(seed=seed + 2,
+                                          input_shape=tuple(x.shape))
+        if self.style_feature is not None:
+            self.style_feature.init(seed=seed + 3,
+                                    input_shape=tuple(x.shape))
 
         params = shard_params(params, self.mesh)
         batch_stats = shard_params(batch_stats, self.mesh)
@@ -119,23 +129,29 @@ class LDMTrainer:
     # ---------------- jitted step -------------------------------------------
 
     def _losses(self, params, batch_stats, content, style, t, drng,
-                vggish_params):
+                feature_params):
         out, updates = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             content, style, t, train=True, frozen_encoder=True,
             rngs={"diffusion": drng}, mutable=["batch_stats"])
 
-        feature_loss = None
-        if self.vggish is not None:
-            feature_loss = lambda a, b: vggish_feature_distance(
-                self.vggish, vggish_params, a, b)
+        comp_params, style_params = feature_params
+        comp_feature = None
+        if self.compression_feature is not None:
+            comp_feature = lambda a, b: self.compression_feature.distance(
+                comp_params, a, b)
 
         denoising = diffusion_loss(out["noise_pred"], out["noise"])
         compression = compression_loss(content, out["reconstructed"],
-                                       out["z_0"], feature_loss,
+                                       out["z_0"], comp_feature,
                                        self.perceptual_weight, self.kl_weight)
-        if feature_loss is not None:
-            style_l = style_loss(out["reconstructed"], style, feature_loss)
+        if self.style_feature is not None:
+            style_fn = lambda a, b: self.style_feature.distance(
+                style_params, a, b)
+            style_l = style_loss(out["reconstructed"], style, style_fn)
+            if self.style_loss_stop_gradient:
+                # ref: loss.py:78 torch.no_grad — value logged, no gradient.
+                style_l = jax.lax.stop_gradient(style_l)
         else:
             style_l = jnp.float32(0.0)
         total = (compression + denoising
@@ -144,7 +160,7 @@ class LDMTrainer:
                    "denoising_loss": denoising, "style_loss": style_l}
         return total, (metrics, updates["batch_stats"])
 
-    def _step(self, state: TrainState, content, style, key, vggish_params):
+    def _step(self, state: TrainState, content, style, key, feature_params):
         tkey, dkey = jax.random.split(key)
         batch = content.shape[0]
         # t ~ Uniform{0..T-1} per element (ref: train.py:172).
@@ -153,7 +169,7 @@ class LDMTrainer:
 
         def loss_fn(params):
             return self._losses(params, state.batch_stats, content, style, t,
-                                dkey, vggish_params)
+                                dkey, feature_params)
 
         (_, (metrics, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -164,6 +180,12 @@ class LDMTrainer:
         new_state = TrainState(params=params, batch_stats=new_stats,
                                opt_state=opt_state, step=state.step + 1)
         return new_state, metrics
+
+    def _feature_params(self):
+        return (self.compression_feature.params
+                if self.compression_feature is not None else None,
+                self.style_feature.params
+                if self.style_feature is not None else None)
 
     # ---------------- epoch driver ------------------------------------------
 
@@ -178,7 +200,7 @@ class LDMTrainer:
             style = shard_batch(jnp.asarray(style), self.mesh)
             key = jax.random.fold_in(base_key, epoch * 100000 + i)
             state, metrics = self._train_step(state, content, style, key,
-                                              self._vggish_params)
+                                              self._feature_params())
             collected.append(metrics)
         n = len(collected)
         sums: dict = {}

@@ -107,3 +107,24 @@ def test_http_server_end_to_end(engine, rng):
     finally:
         httpd.shutdown()
         engine.stop()
+
+
+def test_seed_determinism_across_batch_composition(engine, rng):
+    """A request's result depends only on its own seed/content/style, not
+    on which other requests it was microbatched with."""
+    content = rng.rand(128, 128, 1).astype(np.float32)
+    style = rng.rand(128, 128, 1).astype(np.float32)
+    other = rng.rand(128, 128, 1).astype(np.float32)
+    solo = engine.transfer_batch(content[None], style[None], seeds=7)
+    batched = engine.transfer_batch(
+        np.stack([other, content]), np.stack([other, style]),
+        seeds=np.asarray([3, 7]))
+    np.testing.assert_allclose(solo["image"][0], batched["image"][1],
+                               atol=1e-5)
+
+
+def test_transfer_batch_larger_than_max_bucket(engine, rng):
+    content = rng.rand(9, 128, 128, 1).astype(np.float32)  # > max bucket 4
+    style = rng.rand(9, 128, 128, 1).astype(np.float32)
+    out = engine.transfer_batch(content, style, seeds=np.arange(9))
+    assert out["image"].shape == (9, 128, 128, 1)

@@ -83,7 +83,7 @@ def test_ldm_trainer_step_freezes_encoder(rng):
     content = jnp.asarray(synth_batches(rng, 1)[0])
     style = jnp.asarray(synth_batches(rng, 1)[0])
     state, metrics = trainer._train_step(state, content, style,
-                                         jax.random.PRNGKey(0), None)
+                                         jax.random.PRNGKey(0), (None, None))
     assert np.isfinite(float(metrics["total_loss"]))
     # encoder untouched
     for a, b in zip(jax.tree_util.tree_leaves(enc_before),
@@ -103,7 +103,7 @@ def test_ldm_metrics_keys(rng):
     state = trainer.init_state(0)
     x = jnp.asarray(synth_batches(rng, 1)[0])
     _, metrics = trainer._train_step(state, x, x, jax.random.PRNGKey(1),
-                                     None)
+                                     (None, None))
     assert set(metrics) == {"total_loss", "compression_loss",
                             "denoising_loss", "style_loss"}
 
