@@ -236,3 +236,66 @@ def main(argv=None) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+class PackedPairDataset:
+    """Paired (content, style) dataset over a specpack — the native-speed
+    backend for LDM training (same pairings-CSV contract as
+    SpectrogramPairDataset, ref: models/dataset.py:206-244).
+
+    Per-class item indices are derived from the pack's label table in the
+    same sorted order the folder datasets use, so a pairings CSV generated
+    against the PNG tree indexes identically here.
+    """
+
+    def __init__(self, pack_path: str | Path, pairing_file: str | Path,
+                 crop: int = 128, use_native: bool = True):
+        import csv as _csv
+        self.pack = PackedSpectrogramDataset(pack_path, crop=crop,
+                                             use_native=use_native)
+        # label -> array of global item indices (stored order == sorted
+        # folder enumeration order from build_pack).
+        if self.pack._handle:
+            labels = np.empty((self.pack.n,), np.int32)
+            idx = np.arange(self.pack.n, dtype=np.int64)
+            self.pack._lib.spk_labels(
+                self.pack._handle,
+                idx.ctypes.data_as(ctypes.c_void_p), self.pack.n,
+                labels.ctypes.data_as(ctypes.c_void_p))
+        else:
+            labels = np.asarray(self.pack._labels, np.int32)
+        self._class_indices = {
+            cls: np.flatnonzero(labels == i).astype(np.int64)
+            for i, cls in enumerate(self.pack.classes)}
+
+        self.pairs: list[tuple[str, int, str, int]] = []
+        with open(pairing_file, "r") as f:
+            for row in _csv.reader(f):
+                if row:
+                    self.pairs.append((row[0], int(row[1]), row[2],
+                                       int(row[3])))
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def __getitem__(self, index: int):
+        label1, i1, label2, i2 = self.pairs[index]
+        x, _ = self.pack.gather(np.asarray(
+            [self._class_indices[label1][i1],
+             self._class_indices[label2][i2]], np.int64))
+        return (x[0], label1), (x[1], label2)
+
+    def gather_pairs(self, indices) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized batch path: -> (content [n,c,c,1], style [n,c,c,1]).
+
+        One native gather for the whole batch (2n images) instead of 2n
+        PNG decodes.
+        """
+        rows = [self.pairs[int(i)] for i in np.asarray(indices)]
+        flat = np.asarray(
+            [self._class_indices[l1][i1] for l1, i1, _, _ in rows]
+            + [self._class_indices[l2][i2] for _, _, l2, i2 in rows],
+            np.int64)
+        x, _ = self.pack.gather(flat)
+        n = len(rows)
+        return x[:n], x[n:]

@@ -85,8 +85,11 @@ def vggish_feature_distance(module: VGGishFeatures, params,
                             target: jax.Array) -> jax.Array:
     """Std-normalized multi-layer MSE (ref: loss.py:92-101).
 
-    Matches the reference exactly: each feature map is divided by its
+    Matches the reference's arithmetic: each feature map is divided by its
     per-sample std over (H, W, C) (+1e-8), then MSE, averaged over layers.
+    (The reference additionally extracts features under torch.no_grad; that
+    gradient-blocking behavior is applied by the trainers via
+    TrainConfig.style_loss_stop_gradient, see losses/feature.py.)
     Gradients flow into `predicted`/`target` but never into `params`
     (the reference wraps extraction in no_grad + frozen weights; here the
     params are stop_gradient'ed by the caller).

@@ -91,3 +91,39 @@ def test_getitem_matches_folder_semantics(pack_file):
     x, y = ds[5]
     assert x.shape == (128, 128, 1)
     assert y == int(labels[5])
+
+
+def test_packed_pair_dataset_matches_folder(tmp_path, rng):
+    """PackedPairDataset over a pack built from a PNG tree returns the same
+    pairs as SpectrogramPairDataset over the tree itself."""
+    from PIL import Image
+    from music_style_transfer_ldm_tpu.datasets import (
+        SpectrogramPairDataset, generate_pairings,
+    )
+    from music_style_transfer_ldm_tpu.datasets.packed import (
+        PackedPairDataset,
+    )
+    for label in ["a", "b", "c"]:
+        d = tmp_path / "imgs" / label
+        d.mkdir(parents=True)
+        for i in range(4):
+            Image.fromarray(rng.randint(0, 256, (128, 130), np.uint8),
+                            mode="L").save(d / f"{i}.png")
+    generate_pairings(tmp_path / "imgs", tmp_path / "pairs.csv",
+                      num_pairs=10)
+    build_pack(tmp_path / "imgs", tmp_path / "d.spk")
+
+    folder_ds = SpectrogramPairDataset(tmp_path / "imgs",
+                                       tmp_path / "pairs.csv")
+    packed_ds = PackedPairDataset(tmp_path / "d.spk", tmp_path / "pairs.csv")
+    assert len(folder_ds) == len(packed_ds) == 10
+    for i in [0, 3, 9]:
+        (fa, la), (fb, lb) = folder_ds[i]
+        (pa, pla), (pb, plb) = packed_ds[i]
+        assert (la, lb) == (pla, plb)
+        np.testing.assert_allclose(fa, pa, atol=1e-7)
+        np.testing.assert_allclose(fb, pb, atol=1e-7)
+    # vectorized path agrees with itemized path
+    c, s = packed_ds.gather_pairs([0, 3, 9])
+    np.testing.assert_allclose(c[1], packed_ds[3][0][0], atol=1e-7)
+    np.testing.assert_allclose(s[2], packed_ds[9][1][0], atol=1e-7)
