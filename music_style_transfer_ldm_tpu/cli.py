@@ -121,17 +121,8 @@ def cmd_train(args) -> int:
 
 
 def _restore_ldm(cfg, ckpt_path: str):
-    import jax.numpy as jnp
-    from music_style_transfer_ldm_tpu.models.ldm import LDM
-    from music_style_transfer_ldm_tpu.training import checkpoint as ckpt_lib
-
-    model = LDM(latent_dim=cfg.model.latent_dim,
-                num_timesteps=cfg.diffusion.num_timesteps,
-                dtype=jnp.bfloat16)
-    payload = ckpt_lib.restore_pytree(ckpt_path)
-    variables = {"params": payload["params"],
-                 "batch_stats": payload["batch_stats"]}
-    return model, variables
+    from music_style_transfer_ldm_tpu.models.ldm import load_ldm
+    return load_ldm(cfg, full_checkpoint=ckpt_path)
 
 
 def cmd_generate(args) -> int:

@@ -157,3 +157,9 @@ def generate_pairings(root_folder: str | Path,
         writer = csv.writer(f)
         for row in rows:
             writer.writerow(row)
+
+
+# Public alias for inventory parity with the reference's ImageFolderNoSubdirs
+# (ref: models/dataset.py:119-203): a dataset over a leaf directory treated
+# as one class.
+ImageFolderNoSubdirs = _SingleClassFolder

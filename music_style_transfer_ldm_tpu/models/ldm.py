@@ -220,3 +220,50 @@ def content_style_transfer(model: LDM, variables, key: jax.Array,
                           content_spec.astype(jnp.float32),
                           style_spec.astype(jnp.float32), num_timesteps,
                           float(eta), return_logs)
+
+
+def load_ldm(config, full_checkpoint: Optional[str] = None,
+             autoencoder_checkpoint: Optional[str] = None,
+             dtype=jnp.bfloat16):
+    """Build an LDM + variables from checkpoints, with the reference's
+    fallback semantics made explicit (ref: model.py:262-352: try the full
+    model, fall back to encoder/decoder-only weights; unlike the reference,
+    nothing is silently re-initialized afterwards).
+
+    Returns (model, variables).  With no checkpoint, variables are fresh.
+    """
+    from music_style_transfer_ldm_tpu.training import checkpoint as ckpt_lib
+
+    model = LDM(latent_dim=config.model.latent_dim,
+                num_timesteps=config.diffusion.num_timesteps,
+                beta_start=config.diffusion.beta_start,
+                beta_end=config.diffusion.beta_end,
+                unet_num_filters=config.model.unet_num_filters,
+                style_num_filters=config.model.style_num_filters,
+                dtype=dtype)
+    S = config.model.image_size
+    x = jnp.zeros((1, S, S, config.model.in_channels))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        x, x, jnp.zeros((1,), jnp.int32))
+    params = dict(variables["params"])
+    batch_stats = dict(variables.get("batch_stats", {}))
+
+    if full_checkpoint is not None:
+        try:
+            payload = ckpt_lib.restore_pytree(full_checkpoint)
+            return model, {"params": payload["params"],
+                           "batch_stats": payload["batch_stats"]}
+        except Exception as e:  # noqa: BLE001 — reference fallback behavior
+            print(f"Could not load full LDM checkpoint: {e}")
+            print("Falling back to encoder/decoder weights")
+
+    if autoencoder_checkpoint is not None:
+        ae = ckpt_lib.load_autoencoder(autoencoder_checkpoint)
+        for comp in ("encoder", "decoder"):
+            params[comp] = jax.tree_util.tree_map(
+                jnp.asarray, ae["params"][comp])
+            batch_stats[comp] = jax.tree_util.tree_map(
+                jnp.asarray, ae["batch_stats"][comp])
+
+    return model, {"params": params, "batch_stats": batch_stats}

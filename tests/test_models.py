@@ -172,3 +172,33 @@ def test_models_are_width_agnostic(keys):
                    jnp.zeros((2,), jnp.int32), emb)
     out = unet.apply(uv, z, jnp.zeros((2,), jnp.int32), emb)
     assert out.shape == z.shape
+
+
+def test_load_ldm_fallback(tmp_path):
+    """load_ldm: full checkpoint path with fallback to AE-only weights
+    (ref: model.py:262-352 semantics, made explicit)."""
+    import dataclasses
+    from music_style_transfer_ldm_tpu.config import default_config
+    from music_style_transfer_ldm_tpu.models.ldm import load_ldm
+    from music_style_transfer_ldm_tpu.training import AETrainer
+    from music_style_transfer_ldm_tpu.training import checkpoint as ckpt_lib
+
+    cfg = default_config()
+    cfg.model = dataclasses.replace(cfg.model, image_size=64)
+    ae = AETrainer(cfg, perceptual=False)
+    state = ae.init_state(0)
+    ckpt_lib.save_autoencoder(tmp_path / "ae", state)
+
+    # Missing full checkpoint -> falls back to the AE weights.
+    model, variables = load_ldm(cfg, full_checkpoint=str(tmp_path / "nope"),
+                                autoencoder_checkpoint=str(tmp_path / "ae"),
+                                dtype=jnp.float32)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params["encoder"]),
+                    jax.tree_util.tree_leaves(
+                        variables["params"]["encoder"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # And the result actually runs a forward pass.
+    x = jnp.zeros((1, 64, 64, 1))
+    out = model.apply(variables, x, x, jnp.zeros((1,), jnp.int32),
+                      rngs={"diffusion": jax.random.PRNGKey(0)})
+    assert out["reconstructed"].shape == x.shape
