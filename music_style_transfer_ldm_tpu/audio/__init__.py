@@ -28,6 +28,7 @@ from music_style_transfer_ldm_tpu.audio.mel import (  # noqa: F401
 )
 from music_style_transfer_ldm_tpu.audio.quantize import (  # noqa: F401
     db_to_uint8_image, uint8_image_to_db, db_to_unit_image, unit_image_to_db,
+    unit_image_to_uint8,
 )
 from music_style_transfer_ldm_tpu.audio.griffinlim import (  # noqa: F401
     griffin_lim, mel_to_stft, mel_to_audio,

@@ -81,8 +81,9 @@ def load_audio(path: str | Path, sr: int = 22050, mono: bool = True
     return np.frombuffer(out, dtype=np.float32).copy(), sr
 
 
-def write_wav(path: str | Path, y: np.ndarray, sr: int = 22050) -> None:
-    """Write float32 audio to a 16-bit PCM WAV file."""
+def write_wav(path, y: np.ndarray, sr: int = 22050) -> None:
+    """Write float32 audio to a 16-bit PCM WAV file (path or file-like)."""
     y = np.asarray(y, np.float32)
     y = np.clip(y, -1.0, 1.0)
-    wavfile.write(str(path), sr, (y * 32767.0).astype(np.int16))
+    target = str(path) if isinstance(path, (str, Path)) else path
+    wavfile.write(target, sr, (y * 32767.0).astype(np.int16))

@@ -165,6 +165,19 @@ class AudioProcessor:
         db = self.get_mel_spectrogram(chunks, n_mels=n_mels)
         return _quant.db_to_unit_image(db, max_db=max_db, quantize=True)
 
+    def clip_to_content_image(self, audio, n_mels: int = 128,
+                              size: int = 128) -> np.ndarray:
+        """First `size`-frame chunk of a clip -> [size, size, 1] float
+        image in [0, 1] — the model-input form used by the CLI and the
+        serving front end."""
+        chunk = int(3 * self.target_sr)
+        piece = np.zeros(chunk, np.float32)
+        n = min(len(audio), chunk)
+        piece[:n] = np.asarray(audio, np.float32)[:chunk]
+        img = np.asarray(self.waveform_batch_to_unit_images(
+            piece[None], n_mels=n_mels))
+        return img[0, :, :size, None].astype(np.float32)
+
     # ---------------- misc parity helpers ---------------------------------
 
     def normalize_audio(self, audio, peak: float = 1.0):

@@ -44,3 +44,9 @@ def db_to_unit_image(S_db: jax.Array, max_db: float = 80.0,
 def unit_image_to_db(x: jax.Array, max_db: float = 80.0) -> jax.Array:
     """float [0, 1] -> dB in [-max_db, 0]."""
     return x.astype(jnp.float32) * max_db - max_db
+
+
+def unit_image_to_uint8(x: jax.Array) -> jax.Array:
+    """float [0, 1] image -> uint8 with the same +0.5 rounding convention."""
+    arr = jnp.clip(jnp.asarray(x, jnp.float32) * 255.0 + 0.5, 0.0, 255.0)
+    return jnp.floor(arr).astype(jnp.uint8)

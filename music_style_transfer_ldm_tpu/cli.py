@@ -31,14 +31,9 @@ def _load_image_or_audio(path: str, ap, n_mels: int = 128) -> np.ndarray:
             load_image_unit,
         )
         return load_image_unit(p)[None]
-    audio, sr = ap.load_audio(p)
+    audio, _ = ap.load_audio(p)
     audio = ap.trim_silence(audio)
-    chunk = int(3 * sr)
-    piece = np.zeros(chunk, np.float32)
-    piece[:min(len(audio), chunk)] = audio[:chunk]
-    img = np.asarray(ap.waveform_batch_to_unit_images(piece[None],
-                                                      n_mels=n_mels))
-    return img[:, :, :128, None].astype(np.float32)
+    return ap.clip_to_content_image(audio, n_mels=n_mels)[None]
 
 
 def cmd_download(args) -> int:
@@ -128,7 +123,6 @@ def _restore_ldm(cfg, ckpt_path: str):
 def cmd_generate(args) -> int:
     """Style-conditioned generation from noise (ref: tests.py:782-876)."""
     import jax
-    from PIL import Image
     from music_style_transfer_ldm_tpu.audio.processor import AudioProcessor
     from music_style_transfer_ldm_tpu.config import default_config
     from music_style_transfer_ldm_tpu.models.ldm import style_ddim_sample
@@ -224,12 +218,15 @@ def _save_outputs(img01: np.ndarray, output: str, ap) -> None:
     """
     from PIL import Image
     from music_style_transfer_ldm_tpu.audio.io import write_wav
+    from music_style_transfer_ldm_tpu.audio.quantize import (
+        unit_image_to_uint8,
+    )
 
     out = Path(output)
     out.parent.mkdir(parents=True, exist_ok=True)
     sr = ap.target_sr
     batched = img01.ndim == 3
-    u8 = np.clip(img01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    u8 = np.asarray(unit_image_to_uint8(img01))
     png = np.concatenate(list(u8), axis=1) if batched else u8
     Image.fromarray(png, mode="L").save(out.with_suffix(".png"))
     audio = np.asarray(ap.grayscale_mel_spectrogram_image_to_audio(

@@ -58,7 +58,10 @@ def reconstruction_grid(originals: np.ndarray, reconstructions: np.ndarray,
     r = np.asarray(reconstructions)[:n, :, :, 0]
     rows = [np.concatenate([o[i], r[i]], axis=1) for i in range(n)]
     grid = np.concatenate(rows, axis=0)
-    grid_u8 = np.clip(grid * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    from music_style_transfer_ldm_tpu.audio.quantize import (
+        unit_image_to_uint8,
+    )
+    grid_u8 = np.asarray(unit_image_to_uint8(grid))
     if out_path:
         from PIL import Image
         Image.fromarray(grid_u8, mode="L").save(out_path)
@@ -78,7 +81,10 @@ def forward_visualization(outputs: Dict[str, jax.Array],
     if out_path:
         rec = np.asarray(outputs["reconstructed"])[0, :, :, 0]
         from PIL import Image
-        Image.fromarray(np.clip(rec * 255 + 0.5, 0, 255).astype(np.uint8),
+        from music_style_transfer_ldm_tpu.audio.quantize import (
+            unit_image_to_uint8,
+        )
+        Image.fromarray(np.asarray(unit_image_to_uint8(rec)),
                         mode="L").save(out_path)
     return summary
 

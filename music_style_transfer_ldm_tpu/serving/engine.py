@@ -37,7 +37,6 @@ class EngineConfig:
     griffin_lim_iters: int = 32
     nnls_iters: int = 64
     invert_audio: bool = True
-    seed: int = 0
 
 
 class InferenceEngine:
@@ -53,12 +52,15 @@ class InferenceEngine:
         self._queue: queue.Queue = queue.Queue()
         self._stats = {"requests": 0, "batches": 0, "padded_slots": 0}
         self._stop = threading.Event()
-        self._transfer_fns = {}
+        # One jitted program; jax specializes per batch shape, so the bucket
+        # ladder only decides what to pad to (and what warmup pre-compiles).
+        self._transfer_fn = self._build_transfer()
+        self._warm_buckets: set = set()
         self._thread: Optional[threading.Thread] = None
 
     # ---------------- compiled programs ------------------------------------
 
-    def _build_transfer(self, batch: int):
+    def _build_transfer(self):
         from music_style_transfer_ldm_tpu.models.ldm import (
             content_style_transfer,
         )
@@ -96,13 +98,12 @@ class InferenceEngine:
         """Pre-compile every bucket (call before taking traffic)."""
         S = 128
         for b in self.config.batch_buckets:
-            f = self._build_transfer(b)
             x = jnp.zeros((b, S, S, 1), jnp.float32)
             keys = jax.vmap(jax.random.PRNGKey)(jnp.zeros((b,), jnp.int32))
-            out = f(x, x, keys)
+            out = self._transfer_fn(x, x, keys)
             jax.tree_util.tree_map(
                 lambda a: np.asarray(jax.device_get(a.ravel()[0])), out)
-            self._transfer_fns[b] = f
+            self._warm_buckets.add(b)
 
     # ---------------- synchronous API ---------------------------------------
 
@@ -114,11 +115,11 @@ class InferenceEngine:
         larger than the biggest compiled bucket are split and the results
         concatenated.
         """
-        if not self._transfer_fns:
+        if not self._warm_buckets:
             self.warmup()
         b = content.shape[0]
         seeds = np.broadcast_to(np.asarray(seeds, np.int64), (b,))
-        max_bucket = max(self._transfer_fns)
+        max_bucket = max(self._warm_buckets)
         if b > max_bucket:
             parts = [self.transfer_batch(content[s:s + max_bucket],
                                          style[s:s + max_bucket],
@@ -126,7 +127,7 @@ class InferenceEngine:
                      for s in range(0, b, max_bucket)]
             return {k: np.concatenate([p[k] for p in parts])
                     for k in parts[0]}
-        bucket = next(k for k in sorted(self._transfer_fns) if k >= b)
+        bucket = min(k for k in self._warm_buckets if k >= b)
         pad = bucket - b
         self._stats["padded_slots"] += pad
         if pad:
@@ -136,7 +137,7 @@ class InferenceEngine:
                 [style, np.repeat(style[-1:], pad, axis=0)])
             seeds = np.concatenate([seeds, np.repeat(seeds[-1:], pad)])
         keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
-        out = self._transfer_fns[bucket](
+        out = self._transfer_fn(
             jnp.asarray(content), jnp.asarray(style), keys)
         self._stats["batches"] += 1
         return {k: np.asarray(v)[:b] for k, v in out.items()}
@@ -145,7 +146,7 @@ class InferenceEngine:
 
     def start(self) -> None:
         if self._thread is None:
-            if not self._transfer_fns:
+            if not self._warm_buckets:
                 self.warmup()
             self._stop.clear()
             self._thread = threading.Thread(target=self._dispatch_loop,

@@ -41,27 +41,24 @@ def _wav_to_image(b: bytes, ap) -> np.ndarray:
     from music_style_transfer_ldm_tpu.audio.io import _to_float_mono, resample
     sr, data = wavfile.read(io.BytesIO(b))
     y = resample(_to_float_mono(data), int(sr), ap.target_sr)
-    chunk = int(3 * ap.target_sr)
-    piece = np.zeros(chunk, np.float32)
-    piece[:min(len(y), chunk)] = y[:chunk]
-    img = np.asarray(ap.waveform_batch_to_unit_images(piece[None],
-                                                      n_mels=128))
-    return img[0, :, :128, None].astype(np.float32)
+    return ap.clip_to_content_image(y)
 
 
 def _image_to_png_b64(img01: np.ndarray) -> str:
     from PIL import Image
-    u8 = np.clip(img01[..., 0] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    from music_style_transfer_ldm_tpu.audio.quantize import (
+        unit_image_to_uint8,
+    )
+    u8 = np.asarray(unit_image_to_uint8(img01[..., 0]))
     buf = io.BytesIO()
     Image.fromarray(u8, mode="L").save(buf, format="PNG")
     return base64.b64encode(buf.getvalue()).decode()
 
 
 def _audio_to_wav_b64(audio: np.ndarray, sr: int) -> str:
-    from scipy.io import wavfile
+    from music_style_transfer_ldm_tpu.audio.io import write_wav
     buf = io.BytesIO()
-    wavfile.write(buf, sr,
-                  (np.clip(audio, -1, 1) * 32767.0).astype(np.int16))
+    write_wav(buf, audio, sr)
     return base64.b64encode(buf.getvalue()).decode()
 
 

@@ -66,7 +66,7 @@ class AETrainer:
     def init_state(self, seed: int = 0) -> TrainState:
         cm = self.config.model
         x = jnp.zeros((1, cm.image_size, cm.image_size, cm.in_channels))
-        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         ev = self.encoder.init(k1, x, train=False)
         dv = self.decoder.init(
             k2, jnp.zeros((1, cm.image_size // 8, cm.image_size // 8,
