@@ -123,6 +123,13 @@ def main() -> None:
     log(f"10s clip end-to-end (mel->encode->50-step DDIM->decode->GL): "
         f"{e2e_s:.3f} s (target < 5 s); audio {audio.shape}")
 
+    # ---- secondary: batched serving throughput ---------------------------
+    content64 = jnp.tile(content, (64, 1, 1, 1))
+    style64 = jnp.tile(style, (64, 1, 1, 1))
+    thr_s, _ = timed(transfer_jit, content64, style64, repeats=2, warmup=5)
+    log(f"batch-64 transfer throughput: {64 / thr_s:.0f} clips/s "
+        f"({thr_s * 1000:.1f} ms/batch)")
+
     baseline_ms = 50.0  # BASELINE.md north-star: < 50 ms/DDIM step
     print(json.dumps({
         "metric": "ddim_step_ms",
