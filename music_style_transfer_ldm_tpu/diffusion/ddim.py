@@ -20,7 +20,6 @@ for eta > 0 — a quirk preserved for parity.)
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Tuple
 
 import jax

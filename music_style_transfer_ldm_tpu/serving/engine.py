@@ -21,7 +21,7 @@ import dataclasses
 import queue
 import threading
 import time
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
