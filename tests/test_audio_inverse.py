@@ -110,3 +110,18 @@ def test_mel_to_audio_batched(rng):
                                      nnls_iters=30, length=sr))
     assert out.shape == (2, sr)
     assert np.isfinite(out).all()
+
+
+def test_nnls_matches_scipy_golden(rng):
+    """Golden check: batched FISTA vs scipy.optimize.nnls (the exact
+    active-set solver librosa's mel inversion is built on) on a small
+    well-conditioned system."""
+    from scipy.optimize import nnls as scipy_nnls
+    B = np.abs(rng.randn(12, 8)).astype(np.float32)  # overdetermined
+    X_true = np.abs(rng.randn(8, 5)).astype(np.float32)
+    X_true[rng.rand(*X_true.shape) < 0.3] = 0.0  # active constraints
+    Mmat = B @ X_true
+    got = np.asarray(N.nnls(B, Mmat, n_iter=400))
+    want = np.stack([scipy_nnls(B, Mmat[:, j])[0]
+                     for j in range(Mmat.shape[1])], axis=1)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
