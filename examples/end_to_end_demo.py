@@ -11,7 +11,6 @@ deterministic script.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 import sys
 from pathlib import Path

@@ -74,11 +74,30 @@ def load_audio(path: str | Path, sr: int = 22050, mono: bool = True
             "provide WAV input.")
     cmd = ["ffmpeg", "-v", "error", "-i", str(path), "-f", "f32le",
            "-acodec", "pcm_f32le", "-ar", str(sr)]
+    n_channels = 1
     if mono:
         cmd += ["-ac", "1"]
+    else:
+        n_channels = _probe_channels(path)
     cmd += ["-"]
     out = subprocess.run(cmd, capture_output=True, check=True).stdout
-    return np.frombuffer(out, dtype=np.float32).copy(), sr
+    y = np.frombuffer(out, dtype=np.float32).copy()
+    if n_channels > 1:
+        y = y.reshape(-1, n_channels)  # de-interleave to [T, C]
+    return y, sr
+
+
+def _probe_channels(path) -> int:
+    """Channel count via ffprobe (needed to de-interleave raw ffmpeg PCM)."""
+    if shutil.which("ffprobe") is None:
+        raise RuntimeError(
+            "mono=False on non-WAV input requires ffprobe to determine the "
+            "channel count")
+    out = subprocess.run(
+        ["ffprobe", "-v", "error", "-select_streams", "a:0",
+         "-show_entries", "stream=channels", "-of", "csv=p=0", str(path)],
+        capture_output=True, check=True).stdout
+    return int(out.strip() or 1)
 
 
 def write_wav(path, y: np.ndarray, sr: int = 22050) -> None:

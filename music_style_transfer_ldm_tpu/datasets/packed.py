@@ -28,20 +28,28 @@ _NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
 _SO_PATH = _NATIVE_DIR / "libspecpack.so"
 
 
+_BUILD_RESULT: dict = {}
+
+
 def build_native(force: bool = False) -> Optional[Path]:
     """Compile libspecpack.so with make/g++; None if toolchain missing.
 
-    Always invokes make (a no-op when the .so is newer than the source) so
-    a stale library never shadows updated C++.
+    Runs make once per process (memoized) so a stale library never shadows
+    updated C++ without paying a subprocess per dataset construction;
+    force=True rebuilds unconditionally.
     """
+    if not force and "path" in _BUILD_RESULT:
+        return _BUILD_RESULT["path"]
     try:
         cmd = ["make", "-C", str(_NATIVE_DIR)]
         if force:
             cmd.insert(1, "-B")
         subprocess.run(cmd, check=True, capture_output=True)
-        return _SO_PATH if _SO_PATH.exists() else None
+        result = _SO_PATH if _SO_PATH.exists() else None
     except (OSError, subprocess.CalledProcessError):
-        return _SO_PATH if _SO_PATH.exists() else None
+        result = _SO_PATH if _SO_PATH.exists() else None
+    _BUILD_RESULT["path"] = result
+    return result
 
 
 def _load_native() -> Optional[ctypes.CDLL]:

@@ -255,6 +255,10 @@ def load_ldm(config, full_checkpoint: Optional[str] = None,
             return model, {"params": payload["params"],
                            "batch_stats": payload["batch_stats"]}
         except Exception as e:  # noqa: BLE001 — reference fallback behavior
+            if autoencoder_checkpoint is None:
+                # No fallback available: surface the failure rather than
+                # silently serving randomly initialized weights.
+                raise
             print(f"Could not load full LDM checkpoint: {e}")
             print("Falling back to encoder/decoder weights")
 

@@ -34,6 +34,7 @@ class EngineConfig:
     eta: float = 0.0
     batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
     max_wait_ms: float = 5.0
+    image_size: int = 128
     griffin_lim_iters: int = 32
     nnls_iters: int = 64
     invert_audio: bool = True
@@ -96,7 +97,7 @@ class InferenceEngine:
 
     def warmup(self) -> None:
         """Pre-compile every bucket (call before taking traffic)."""
-        S = 128
+        S = self.config.image_size
         for b in self.config.batch_buckets:
             x = jnp.zeros((b, S, S, 1), jnp.float32)
             keys = jax.vmap(jax.random.PRNGKey)(jnp.zeros((b,), jnp.int32))
@@ -136,7 +137,14 @@ class InferenceEngine:
             style = np.concatenate(
                 [style, np.repeat(style[-1:], pad, axis=0)])
             seeds = np.concatenate([seeds, np.repeat(seeds[-1:], pad)])
-        keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
+        # Full-width deterministic keys: 64-bit seeds are split into two
+        # 31-bit halves (jnp.asarray would silently truncate int64 with x64
+        # disabled, aliasing seeds >= 2**31).
+        u = seeds.astype(np.uint64)
+        lo = jnp.asarray((u & 0x7FFFFFFF).astype(np.int32))
+        hi = jnp.asarray(((u >> 31) & 0x7FFFFFFF).astype(np.int32))
+        keys = jax.vmap(
+            lambda l, h: jax.random.fold_in(jax.random.PRNGKey(l), h))(lo, hi)
         out = self._transfer_fn(
             jnp.asarray(content), jnp.asarray(style), keys)
         self._stats["batches"] += 1
@@ -186,16 +194,23 @@ class InferenceEngine:
                     batch.append(self._queue.get(timeout=remaining))
                 except queue.Empty:
                     break
-            content = np.stack([r[0] for r in batch])
-            style = np.stack([r[1] for r in batch])
-            seeds = np.asarray([r[2] for r in batch], np.int64)
             try:
+                content = np.stack([r[0] for r in batch])
+                style = np.stack([r[1] for r in batch])
+                seeds = np.asarray([r[2] for r in batch], np.int64)
                 out = self.transfer_batch(content, style, seeds=seeds)
                 for i, (_, _, _, done) in enumerate(batch):
                     done.put({k: v[i] for k, v in out.items()})
             except Exception as e:  # noqa: BLE001 — deliver, don't die
                 for _, _, _, done in batch:
                     done.put(e)
+        # Drain anything still queued so no waiter hangs after stop().
+        while True:
+            try:
+                _, _, _, done = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            done.put(RuntimeError("engine stopped"))
 
     def stats(self) -> dict:
         return dict(self._stats)

@@ -25,23 +25,24 @@ from typing import Optional
 import numpy as np
 
 
-def _png_to_image(b: bytes) -> np.ndarray:
+def _png_to_image(b: bytes, size: int = 128) -> np.ndarray:
     from PIL import Image
     arr = np.asarray(Image.open(io.BytesIO(b)).convert("L"), np.uint8)
-    arr = arr[:128, :128]
-    if arr.shape != (128, 128):
-        pad = np.zeros((128, 128), np.uint8)
+    arr = arr[:size, :size]
+    if arr.shape != (size, size):
+        pad = np.zeros((size, size), np.uint8)
         pad[:arr.shape[0], :arr.shape[1]] = arr
         arr = pad
     return (arr.astype(np.float32) / 255.0)[..., None]
 
 
-def _wav_to_image(b: bytes, ap) -> np.ndarray:
+def _wav_to_image(b: bytes, ap, size: int = 128) -> np.ndarray:
     from scipy.io import wavfile
     from music_style_transfer_ldm_tpu.audio.io import _to_float_mono, resample
     sr, data = wavfile.read(io.BytesIO(b))
     y = resample(_to_float_mono(data), int(sr), ap.target_sr)
-    return ap.clip_to_content_image(y)
+    y = ap.trim_silence(y)  # same preprocessing as the CLI path
+    return ap.clip_to_content_image(y, size=size)
 
 
 def _image_to_png_b64(img01: np.ndarray) -> str:
@@ -110,11 +111,13 @@ def make_handler(engine):
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
         def _decode_input(self, req: dict, kind: str) -> np.ndarray:
+            size = engine.config.image_size
             if f"{kind}_png_b64" in req:
-                return _png_to_image(base64.b64decode(req[f"{kind}_png_b64"]))
+                return _png_to_image(
+                    base64.b64decode(req[f"{kind}_png_b64"]), size)
             if f"{kind}_wav_b64" in req:
-                return _wav_to_image(base64.b64decode(req[f"{kind}_wav_b64"]),
-                                     ap)
+                return _wav_to_image(
+                    base64.b64decode(req[f"{kind}_wav_b64"]), ap, size)
             raise KeyError(f"{kind}_png_b64 or {kind}_wav_b64")
 
     return Handler
