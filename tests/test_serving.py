@@ -128,3 +128,37 @@ def test_transfer_batch_larger_than_max_bucket(engine, rng):
     style = rng.rand(9, 128, 128, 1).astype(np.float32)
     out = engine.transfer_batch(content, style, seeds=np.arange(9))
     assert out["image"].shape == (9, 128, 128, 1)
+
+
+def test_http_wav_content_input(engine, rng):
+    """WAV-bytes content through the HTTP path (decode + trim + mel)."""
+    httpd = serve(engine, host="127.0.0.1", port=0, block=False)
+    port = httpd.server_address[1]
+    try:
+        from music_style_transfer_ldm_tpu.audio.io import write_wav
+        sr = 22050
+        t = np.arange(2 * sr) / sr
+        y = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+        buf = io.BytesIO()
+        write_wav(buf, y, sr)
+        wav_b64 = base64.b64encode(buf.getvalue()).decode()
+
+        from PIL import Image
+        pbuf = io.BytesIO()
+        Image.fromarray(rng.randint(0, 256, (128, 130), np.uint8),
+                        mode="L").save(pbuf, format="PNG")
+        req = json.dumps({"content_wav_b64": wav_b64,
+                          "style_png_b64":
+                          base64.b64encode(pbuf.getvalue()).decode(),
+                          "seed": 5}).encode()
+        r = urllib.request.urlopen(
+            urllib.request.Request(f"http://127.0.0.1:{port}/v1/transfer",
+                                   data=req,
+                                   headers={"Content-Type":
+                                            "application/json"}),
+            timeout=300)
+        resp = json.loads(r.read())
+        assert "image_png_b64" in resp
+    finally:
+        httpd.shutdown()
+        engine.stop()
