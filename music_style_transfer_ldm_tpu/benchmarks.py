@@ -37,7 +37,7 @@ def _sync(out) -> None:
     np.asarray(jax.device_get(leaf.ravel()[0]))
 
 
-def timed(fn, *args, repeats: int = 3, warmup: int = 25):
+def timed(fn, *args, repeats: int = 8, warmup: int = 25):
     out = fn(*args)
     _sync(out)  # compile
     for _ in range(warmup):  # relay warm-up: first ~20 calls are slow
@@ -119,7 +119,7 @@ def main() -> None:
         return audio
 
     e2e_jit = jax.jit(end_to_end)
-    e2e_s, audio = timed(e2e_jit, jnp.asarray(clip), style4, repeats=2)
+    e2e_s, audio = timed(e2e_jit, jnp.asarray(clip), style4, repeats=3)
     log(f"10s clip end-to-end (mel->encode->50-step DDIM->decode->GL): "
         f"{e2e_s:.3f} s (target < 5 s); audio {audio.shape}")
 
