@@ -3,6 +3,6 @@ re-done as a library)."""
 
 from music_style_transfer_ldm_tpu.evaluation.diagnostics import (  # noqa: F401
     parameter_table, style_embedding_stats, detect_dead_style_encoder,
-    reconstruction_grid, forward_visualization, spectral_convergence,
-    mel_db_distance,
+    reconstruction_grid, forward_visualization, ldm_forward_panel,
+    spectral_convergence, mel_db_distance,
 )

@@ -112,3 +112,40 @@ def mel_db_distance(audio_a: jax.Array, audio_b: jax.Array,
     b = power_to_db(melspectrogram(jnp.asarray(audio_b), sr=sr,
                                    n_mels=n_mels))
     return float(jnp.abs(a - b).mean())
+
+
+def ldm_forward_panel(outputs: Dict[str, jax.Array], content: jax.Array,
+                      style: jax.Array, out_path: str,
+                      item: int = 0) -> None:
+    """Multi-panel PNG of one LDM forward pass: content | style | z_t
+    channel | predicted reconstruction — the artifact the reference's
+    test_ldm_forward_function saves for visual inspection
+    (ref: models/tests.py:1135-1287, incl. the noise-content variant :1211).
+    """
+    from PIL import Image
+    from music_style_transfer_ldm_tpu.audio.quantize import (
+        unit_image_to_uint8,
+    )
+
+    def norm01(x):
+        x = np.asarray(x, np.float32)
+        lo, hi = x.min(), x.max()
+        return (x - lo) / (hi - lo + 1e-8)
+
+    h = content.shape[1]
+    panels = [
+        np.asarray(content)[item, :, :, 0],
+        np.asarray(style)[item, :, :, 0],
+        _resize_nearest(norm01(np.asarray(outputs["z_t"])[item, :, :, 0]), h),
+        np.asarray(outputs["reconstructed"])[item, :, :, 0],
+    ]
+    strip = np.concatenate([np.clip(p, 0, 1) for p in panels], axis=1)
+    Image.fromarray(np.asarray(unit_image_to_uint8(strip)),
+                    mode="L").save(out_path)
+
+
+def _resize_nearest(x: np.ndarray, size: int) -> np.ndarray:
+    """Nearest-neighbor upsample of a small 2-D map to size x size."""
+    ry = np.linspace(0, x.shape[0] - 1, size).round().astype(int)
+    rx = np.linspace(0, x.shape[1] - 1, size).round().astype(int)
+    return x[np.ix_(ry, rx)]

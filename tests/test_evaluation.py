@@ -67,3 +67,19 @@ def test_mel_db_distance(rng):
     assert mel_db_distance(a, a) == 0.0
     b = rng.randn(22050).astype(np.float32) * 0.1
     assert mel_db_distance(a, b) > 1.0
+
+
+def test_ldm_forward_panel(tmp_path, rng):
+    from music_style_transfer_ldm_tpu.evaluation import ldm_forward_panel
+    outputs = {
+        "z_t": jnp.asarray(rng.randn(1, 16, 16, 32).astype(np.float32)),
+        "reconstructed": jnp.asarray(
+            rng.rand(1, 128, 128, 1).astype(np.float32)),
+    }
+    content = rng.rand(1, 128, 128, 1).astype(np.float32)
+    style = rng.rand(1, 128, 128, 1).astype(np.float32)
+    out = tmp_path / "panel.png"
+    ldm_forward_panel(outputs, content, style, str(out))
+    from PIL import Image
+    img = Image.open(out)
+    assert img.size == (4 * 128, 128)
