@@ -46,14 +46,23 @@ def convT_k4(features: int, name: str | None = None, dtype=jnp.float32,
 
 def convT_k3(features: int, name: str | None = None, dtype=jnp.float32,
              param_dtype=jnp.float32) -> nn.ConvTranspose:
-    """3x3 stride-2 transpose conv doubling H,W.
+    """3x3 stride-2 transpose conv doubling H,W (use with crop_k3_output).
 
-    Matches torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1)
-    (ref: model.py:191-193): out = 2n, via flax 'SAME' transpose padding.
+    Built as the full 'VALID' transpose (out = 2n+1); cropping the first
+    row/column (crop_k3_output) reproduces torch
+    ConvTranspose2d(k=3, s=2, p=1, output_padding=1) bit-exactly
+    (ref: model.py:191-193) — verified numerically against torch, which
+    matters for migrated reference checkpoints (interop/torch_weights.py):
+    a one-pixel shift here would de-align the UNet's additive skips.
     """
     return nn.ConvTranspose(features, (3, 3), strides=(2, 2),
-                            padding="SAME", name=name, dtype=dtype,
+                            padding="VALID", name=name, dtype=dtype,
                             param_dtype=param_dtype)
+
+
+def crop_k3_output(y: jax.Array) -> jax.Array:
+    """Crop the VALID k3-transpose output to torch p=1/op=1 geometry."""
+    return y[:, 1:, 1:, :]
 
 
 class SinusoidalPositionEmbeddings(nn.Module):

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from music_style_transfer_ldm_tpu.models.layers import (
-    CrossAttention, SinusoidalPositionEmbeddings, conv_s1, conv_s2, convT_k3,
+    CrossAttention, SinusoidalPositionEmbeddings, conv_s1, conv_s2,
+    convT_k3, crop_k3_output,
 )
 
 Dtype = Any
@@ -70,7 +71,8 @@ class UNet(nn.Module):
         z4 = nn.relu(conv_s1(nf * 8, "bottleneck", dt, pt)(z4))  # 2x2x512
 
         # Decoder with additive skips (ref: model.py:220-227).
-        u3 = nn.relu(convT_k3(nf * 4, "dec4", dt, pt)(z4)) + z3_skip  # 4x4
-        u2 = nn.relu(convT_k3(nf * 2, "dec3", dt, pt)(u3)) + z2      # 8x8
-        u1 = nn.relu(convT_k3(nf, "dec2", dt, pt)(u2)) + z1          # 16x16
+        crop = crop_k3_output
+        u3 = nn.relu(crop(convT_k3(nf * 4, "dec4", dt, pt)(z4))) + z3_skip
+        u2 = nn.relu(crop(convT_k3(nf * 2, "dec3", dt, pt)(u3))) + z2
+        u1 = nn.relu(crop(convT_k3(nf, "dec2", dt, pt)(u2))) + z1
         return conv_s1(self.out_channels, "dec1", dt, pt)(u1)
