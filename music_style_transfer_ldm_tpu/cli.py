@@ -257,6 +257,34 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_import_torch(args) -> int:
+    """Convert a trained reference PyTorch checkpoint into an orbax
+    checkpoint usable by every command here (interop/torch_weights.py)."""
+    import numpy as _np
+    from music_style_transfer_ldm_tpu.interop import (
+        convert_autoencoder_state_dicts, convert_ldm_state_dict,
+    )
+    from music_style_transfer_ldm_tpu.training import checkpoint as ckpt_lib
+
+    def load_sd(path):
+        import torch
+        sd = torch.load(path, map_location="cpu")
+        return {k: _np.asarray(v.detach().cpu().numpy())
+                for k, v in sd.items()}
+
+    if args.ldm:
+        payload = convert_ldm_state_dict(load_sd(args.ldm))
+    elif args.encoder and args.decoder:
+        payload = convert_autoencoder_state_dicts(load_sd(args.encoder),
+                                                  load_sd(args.decoder))
+    else:
+        print("provide --ldm, or --encoder and --decoder", file=sys.stderr)
+        return 2
+    ckpt_lib.save_pytree(args.out, payload)
+    print(f"converted checkpoint written to {args.out}")
+    return 0
+
+
 def cmd_bench(_args) -> int:
     from music_style_transfer_ldm_tpu.benchmarks import main as bench_main
     bench_main()
@@ -326,6 +354,14 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("--output", default="outputs/transferred")
     tr.set_defaults(fn=cmd_transfer)
+
+    it = sub.add_parser("import-torch",
+                        help="convert reference .pth checkpoints")
+    it.add_argument("--ldm", help="full ldm_<epoch>.pth state dict")
+    it.add_argument("--encoder", help="encoder.pth")
+    it.add_argument("--decoder", help="decoder.pth")
+    it.add_argument("--out", required=True)
+    it.set_defaults(fn=cmd_import_torch)
 
     sv = sub.add_parser("serve", help="HTTP inference server (microbatched)")
     sv.add_argument("--checkpoint", required=True)
