@@ -45,3 +45,15 @@ def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def sequence_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard batch over 'data' AND the time (width) axis over 'model' —
+    sequence parallelism for wide spectrograms.  XLA GSPMD inserts the conv
+    halo exchanges automatically; verified numerically identical to the
+    replicated result (tests/test_parallel.py)."""
+    if ndim < 3:
+        return NamedSharding(mesh, P(DATA_AXIS))
+    spec = [DATA_AXIS] + [None] * (ndim - 1)
+    spec[2] = MODEL_AXIS  # NHWC: W is the spectrogram time axis
+    return NamedSharding(mesh, P(*spec))

@@ -71,16 +71,23 @@ def pad_batch_to_multiple(x, multiple: int):
     return jnp.concatenate([x, filler], axis=0)
 
 
-def shard_batch(batch, mesh: Mesh, pad: bool = True):
+def shard_batch(batch, mesh: Mesh, pad: bool = True,
+                sequence_parallel: bool = False):
     """Shard array leaves over the 'data' axis on their leading dim.
 
     pad=True repeats trailing rows so every leading dim divides the data
-    axis (see pad_batch_to_multiple).
+    axis (see pad_batch_to_multiple).  sequence_parallel=True additionally
+    shards the time (width) axis of NHWC images over the 'model' axis —
+    use for clips too wide for one chip's HBM; convs get their halo
+    exchanges from GSPMD.
     """
+    from music_style_transfer_ldm_tpu.parallel.mesh import sequence_sharding
     n_data = mesh.shape[DATA_AXIS]
 
     def place(x):
         if pad and x.shape[0] % n_data:
             x = pad_batch_to_multiple(x, n_data)
+        if sequence_parallel and x.ndim >= 3:
+            return jax.device_put(x, sequence_sharding(mesh, ndim=x.ndim))
         return jax.device_put(x, batch_sharding(mesh, ndim=x.ndim))
     return jax.tree_util.tree_map(place, batch)
