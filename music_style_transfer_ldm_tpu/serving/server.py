@@ -123,11 +123,18 @@ def make_handler(engine):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # Default listen backlog is 5; concurrent bursts beyond it get
+    # connection resets (found by a 100-client soak test).
+    request_queue_size = 128
+    daemon_threads = True
+
+
 def serve(engine, host: str = "127.0.0.1", port: int = 8787,
           block: bool = True) -> Optional[ThreadingHTTPServer]:
     """Start the HTTP server over a warmed engine."""
     engine.start()
-    httpd = ThreadingHTTPServer((host, port), make_handler(engine))
+    httpd = _Server((host, port), make_handler(engine))
     if block:
         try:
             httpd.serve_forever()
