@@ -260,7 +260,6 @@ def cmd_serve(args) -> int:
 def cmd_import_torch(args) -> int:
     """Convert a trained reference PyTorch checkpoint into an orbax
     checkpoint usable by every command here (interop/torch_weights.py)."""
-    import numpy as _np
     from music_style_transfer_ldm_tpu.interop import (
         convert_autoencoder_state_dicts, convert_ldm_state_dict,
     )
@@ -268,9 +267,8 @@ def cmd_import_torch(args) -> int:
 
     def load_sd(path):
         import torch
-        sd = torch.load(path, map_location="cpu")
-        return {k: _np.asarray(v.detach().cpu().numpy())
-                for k, v in sd.items()}
+        # raw tensors are fine: the converters detach/convert themselves
+        return torch.load(path, map_location="cpu")
 
     if args.ldm:
         payload = convert_ldm_state_dict(load_sd(args.ldm))

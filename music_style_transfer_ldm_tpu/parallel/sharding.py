@@ -79,15 +79,25 @@ def shard_batch(batch, mesh: Mesh, pad: bool = True,
     axis (see pad_batch_to_multiple).  sequence_parallel=True additionally
     shards the time (width) axis of NHWC images over the 'model' axis —
     use for clips too wide for one chip's HBM; convs get their halo
-    exchanges from GSPMD.
+    exchanges from GSPMD.  Widths not divisible by the model axis are
+    zero-padded on the right (silence columns, the dataset builder's
+    convention for its final chunk) — crop outputs back if exact width
+    matters.
     """
+    import jax.numpy as jnp
     from music_style_transfer_ldm_tpu.parallel.mesh import sequence_sharding
     n_data = mesh.shape[DATA_AXIS]
+    n_model = mesh.shape[MODEL_AXIS]
 
     def place(x):
         if pad and x.shape[0] % n_data:
             x = pad_batch_to_multiple(x, n_data)
         if sequence_parallel and x.ndim >= 3:
+            rem = x.shape[2] % n_model
+            if pad and rem:
+                widths = [(0, 0)] * x.ndim
+                widths[2] = (0, n_model - rem)
+                x = jnp.pad(x, widths)
             return jax.device_put(x, sequence_sharding(mesh, ndim=x.ndim))
         return jax.device_put(x, batch_sharding(mesh, ndim=x.ndim))
     return jax.tree_util.tree_map(place, batch)

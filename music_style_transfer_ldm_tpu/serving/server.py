@@ -127,7 +127,6 @@ class _Server(ThreadingHTTPServer):
     # Default listen backlog is 5; concurrent bursts beyond it get
     # connection resets (found by a 100-client soak test).
     request_queue_size = 128
-    daemon_threads = True
 
 
 def serve(engine, host: str = "127.0.0.1", port: int = 8787,

@@ -19,6 +19,24 @@ import orbax.checkpoint as ocp
 
 from music_style_transfer_ldm_tpu.training.state import TrainState
 
+# Checkpoint format history:
+#   1 (implicit, pre-versioning): UNet k3 transpose convs used SAME padding
+#     (one-pixel shift vs torch geometry).
+#   2: UNet k3 transpose convs are VALID+crop (bit-exact torch geometry,
+#     interop-compatible). Same parameter shapes — only numerics differ.
+FORMAT_VERSION = 2
+
+
+def _check_version(payload: dict, path) -> None:
+    v = payload.get("format_version")
+    v = int(np.asarray(v)) if v is not None else 1
+    if v < FORMAT_VERSION:
+        print(f"WARNING: checkpoint {path} has format v{v} < "
+              f"v{FORMAT_VERSION}: it was trained with the pre-interop UNet "
+              "deconv geometry (SAME padding); restored weights will produce "
+              "slightly shifted UNet decoder outputs. Re-train or fine-tune "
+              "for exact behavior.", flush=True)
+
 
 def _to_host(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
@@ -44,13 +62,16 @@ def restore_pytree(path: str | Path, target: Optional[Any] = None) -> Any:
 def save_autoencoder(path: str | Path, state: TrainState) -> None:
     """Persist encoder+decoder params and BN stats (the phase-2 inputs)."""
     save_pytree(path, {"params": state.params,
-                       "batch_stats": state.batch_stats})
+                       "batch_stats": state.batch_stats,
+                       "format_version": np.asarray(FORMAT_VERSION)})
 
 
 def load_autoencoder(path: str | Path) -> dict:
     """-> {'params': {'encoder':…, 'decoder':…},
            'batch_stats': {'encoder':…, 'decoder':…}}"""
-    return restore_pytree(path)
+    payload = restore_pytree(path)
+    _check_version(payload, path)
+    return payload
 
 
 # ---------------- full train-state checkpoints ----------------------------
@@ -60,7 +81,8 @@ def save_train_state(path: str | Path, state: TrainState,
                      extra: Optional[dict] = None) -> None:
     payload = {"params": state.params, "batch_stats": state.batch_stats,
                "opt_state": state.opt_state,
-               "step": np.asarray(state.step)}
+               "step": np.asarray(state.step),
+               "format_version": np.asarray(FORMAT_VERSION)}
     if extra:
         payload["extra"] = extra
     save_pytree(path, payload)
@@ -70,7 +92,9 @@ def restore_train_state(path: str | Path,
                         template: TrainState) -> TrainState:
     payload = restore_pytree(path, {
         "params": template.params, "batch_stats": template.batch_stats,
-        "opt_state": template.opt_state, "step": np.asarray(template.step)})
+        "opt_state": template.opt_state, "step": np.asarray(template.step),
+        "format_version": np.asarray(FORMAT_VERSION)})
+    _check_version(payload, path)
     return TrainState(params=payload["params"],
                       batch_stats=payload["batch_stats"],
                       opt_state=payload["opt_state"],

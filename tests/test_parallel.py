@@ -71,3 +71,15 @@ def test_sequence_parallel_unet(rng):
         vv, a, jnp.zeros((2,), jnp.int32), emb))(v, zs)
     assert out.shape == z.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sequence_parallel_pads_odd_width(rng):
+    """Widths not divisible by the model axis are zero-padded (the dataset
+    builder's silence-pad convention), not an error."""
+    mesh = make_mesh((2, 4))
+    x = jnp.asarray(rng.rand(4, 64, 130, 1).astype(np.float32))
+    xs = shard_batch(x, mesh, sequence_parallel=True)
+    assert xs.shape == (4, 64, 132, 1)  # padded up to /4
+    np.testing.assert_allclose(np.asarray(xs[:, :, :130]), np.asarray(x),
+                               atol=1e-7)
+    assert float(jnp.abs(xs[:, :, 130:]).max()) == 0.0

@@ -274,3 +274,26 @@ def test_autoencoder_pth_pair_conversion(rng_t):
     with torch.no_grad():
         want = t_dec(t_enc(torch.tensor(x.transpose(0, 3, 1, 2)))).numpy()
     np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), atol=5e-4)
+
+
+def test_k3_transpose_conv_migration_parity(rng_t):
+    """The UNet decoder deconv path (ConvTranspose2d k3 s2 p1 op1 ->
+    convT_k3 VALID + crop with flipped kernel) must be numerically exact —
+    a wrong flip or crop offset would de-align the UNet's additive skips
+    for migrated checkpoints."""
+    from music_style_transfer_ldm_tpu.interop.torch_weights import _convT
+    from music_style_transfer_ldm_tpu.models.layers import (
+        convT_k3, crop_k3_output,
+    )
+    t = torch.nn.ConvTranspose2d(8, 6, 3, stride=2, padding=1,
+                                 output_padding=1).eval()
+    sd = {f"d.{k}": v.detach().numpy() for k, v in t.state_dict().items()}
+    params = _convT(sd, "d")
+    mod = convT_k3(6)
+    x = rng_t.randn(2, 5, 7, 8).astype(np.float32)
+    got = np.asarray(crop_k3_output(
+        mod.apply({"params": params}, jnp.asarray(x))))
+    with torch.no_grad():
+        want = t(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    assert got.shape == tuple(np.transpose(want, (0, 2, 3, 1)).shape)
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), atol=1e-5)
