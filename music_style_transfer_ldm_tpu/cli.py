@@ -278,6 +278,8 @@ def cmd_import_torch(args) -> int:
     else:
         print("provide --ldm, or --encoder and --decoder", file=sys.stderr)
         return 2
+    # Migrated torch weights target the exact-torch (v2) deconv geometry.
+    payload["format_version"] = np.asarray(ckpt_lib.FORMAT_VERSION)
     ckpt_lib.save_pytree(args.out, payload)
     print(f"converted checkpoint written to {args.out}")
     return 0
