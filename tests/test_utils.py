@@ -66,3 +66,12 @@ def test_graft_entry_single_and_multichip():
     assert out[1].shape == (4, 128, 128, 1)
     g.dryrun_multichip(8)
     g.dryrun_multichip(4)
+
+
+def test_profiler_trace_writes_artifacts(tmp_path):
+    from music_style_transfer_ldm_tpu.utils.profiling import trace
+    with trace(tmp_path / "prof"):
+        x = jnp.ones((64, 64))
+        (x @ x).block_until_ready()
+    files = list((tmp_path / "prof").rglob("*"))
+    assert any(f.is_file() for f in files), "no trace artifacts written"
