@@ -297,3 +297,41 @@ def test_k3_transpose_conv_migration_parity(rng_t):
         want = t(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
     assert got.shape == tuple(np.transpose(want, (0, 2, 3, 1)).shape)
     np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), atol=1e-5)
+
+
+def test_vggish_conversion_numerical_parity(rng_t):
+    """convert_torchvggish_state_dict must reproduce the torch conv trunk's
+    per-ReLU feature maps (the actual tensors the style loss consumes)."""
+    from music_style_transfer_ldm_tpu.losses import (
+        VGGishFeatures, convert_torchvggish_state_dict,
+    )
+    # torchvggish `features` topology: conv/relu/pool stack with convs at
+    # Sequential indices 0,3,6,8,11,13.
+    t = torch.nn.Sequential(
+        torch.nn.Conv2d(1, 64, 3, padding=1), torch.nn.ReLU(),
+        torch.nn.MaxPool2d(2, 2),
+        torch.nn.Conv2d(64, 128, 3, padding=1), torch.nn.ReLU(),
+        torch.nn.MaxPool2d(2, 2),
+        torch.nn.Conv2d(128, 256, 3, padding=1), torch.nn.ReLU(),
+        torch.nn.Conv2d(256, 256, 3, padding=1), torch.nn.ReLU(),
+        torch.nn.MaxPool2d(2, 2),
+        torch.nn.Conv2d(256, 512, 3, padding=1), torch.nn.ReLU(),
+        torch.nn.Conv2d(512, 512, 3, padding=1), torch.nn.ReLU(),
+        torch.nn.MaxPool2d(2, 2)).eval()
+    sd = {f"features.{k}": v.detach().numpy()
+          for k, v in t.state_dict().items()}
+    params = convert_torchvggish_state_dict(sd)
+
+    x = rng_t.rand(2, 64, 64, 1).astype(np.float32)
+    feats = VGGishFeatures().apply({"params": params}, jnp.asarray(x))
+
+    with torch.no_grad():
+        cur = torch.tensor(x.transpose(0, 3, 1, 2))
+        torch_feats = []
+        for layer in t:
+            cur = layer(cur)
+            if isinstance(layer, torch.nn.ReLU):
+                torch_feats.append(cur.numpy().transpose(0, 2, 3, 1))
+    assert len(feats) == len(torch_feats) == 6
+    for got, want in zip(feats, torch_feats):
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
