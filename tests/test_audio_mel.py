@@ -117,3 +117,15 @@ def test_melspectrogram_shapes(rng):
     mel = np.asarray(M.melspectrogram(y, n_mels=128))
     assert mel.shape == (2, 128, 130)
     assert (mel >= 0).all()
+
+
+def test_melspectrogram_fmax_band_limit(rng):
+    """fmax below Nyquist: filters above fmax are zero; a tone above fmax
+    contributes (almost) nothing."""
+    sr = 22050
+    t = np.arange(sr) / sr
+    hi_tone = (0.5 * np.sin(2 * np.pi * 9000 * t)).astype(np.float32)
+    full = np.asarray(M.melspectrogram(hi_tone, sr=sr, n_mels=64))
+    limited = np.asarray(M.melspectrogram(hi_tone, sr=sr, n_mels=64,
+                                          fmax=4000.0))
+    assert full.sum() > 100 * limited.sum()

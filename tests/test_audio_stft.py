@@ -83,3 +83,19 @@ def test_overlap_add_scatter_fallback(rng):
     y2 = np.asarray(S.istft(spec, n_fft=1000, hop_length=300, length=len(y)))
     np.testing.assert_allclose(y2[1000:-1000], y[1000:-1000],
                                rtol=1e-3, atol=1e-4)
+
+
+def test_stft_custom_win_length(rng):
+    """win_length < n_fft: window zero-padded centered (librosa pad_center)."""
+    y = rng.randn(8192).astype(np.float32)
+    got = np.asarray(S.stft(y, n_fft=1024, hop_length=256, win_length=512))
+    want = naive_stft(y, 1024, 256, win_length=512)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_istft_length_longer_pads(rng):
+    y = rng.randn(4096).astype(np.float32)
+    spec = S.stft(y, n_fft=1024, hop_length=256)
+    out = np.asarray(S.istft(spec, n_fft=1024, hop_length=256, length=5000))
+    assert out.shape == (5000,)
+    assert np.abs(out[4500:]).max() == 0.0  # zero-padded tail
