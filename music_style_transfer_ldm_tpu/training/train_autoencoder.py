@@ -154,8 +154,14 @@ class AETrainer:
         vgg = self.feature.params if self.feature is not None else None
         best_val = float("inf")
 
+        from music_style_transfer_ldm_tpu.utils.profiling import (
+            StallWatchdog,
+        )
         for epoch in range(num_epochs):
             t0 = time.time()
+            watchdog = StallWatchdog(timeout_s=600,
+                                     context=f"AE epoch {epoch}")
+            watchdog.__enter__()
             # Losses stay on device until epoch end (per-step float() would
             # stall the dispatch pipeline with a sync readback).
             train_losses = []
@@ -172,6 +178,7 @@ class AETrainer:
 
             train_loss = float(np.mean([float(l) for l in train_losses]))
             val_loss = float(np.mean([float(l) for l in val_losses]))
+            watchdog.__exit__()
 
             self.plateau = plateau_update(self.plateau, val_loss)
             state = state.replace(opt_state=set_learning_rate(

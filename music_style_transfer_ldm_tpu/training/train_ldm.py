@@ -230,10 +230,16 @@ class LDMTrainer:
             state = ckpt_lib.restore_train_state(resume_from, state)
         base_key = jax.random.PRNGKey(cfg.seed + 123)
 
+        from music_style_transfer_ldm_tpu.utils.profiling import (
+            StallWatchdog,
+        )
         for epoch in range(num_epochs):
             t0 = time.time()
-            state, avgs = self.train_epoch(state, train_loader, epoch,
-                                           base_key)
+            with StallWatchdog(timeout_s=600,
+                               context=f"LDM epoch {epoch} "
+                                       f"(ckpts under {out_dir})"):
+                state, avgs = self.train_epoch(state, train_loader, epoch,
+                                               base_key)
             self.plateau = plateau_update(self.plateau, avgs["total_loss"])
             state = state.replace(opt_state=set_learning_rate(
                 state.opt_state, self.plateau.lr))

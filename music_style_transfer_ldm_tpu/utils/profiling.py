@@ -69,3 +69,50 @@ class StepTimer:
                 "p50_s": float(np.percentile(a, 50)),
                 "p95_s": float(np.percentile(a, 95)),
                 "total_s": float(a.sum())}
+
+
+class StallWatchdog:
+    """Warn when a step takes implausibly long (e.g. a relay/tunnel stall).
+
+    The axon relay has been observed to park device waits indefinitely
+    (threads idle on futex, zero CPU). A blocked jax call can't be safely
+    interrupted in-process, so the watchdog's job is to make the stall
+    VISIBLE with recovery instructions instead of hanging silently.
+
+    Usage:
+        wd = StallWatchdog(timeout_s=300, context="LDM epoch 12")
+        with wd:
+            ... device work ...
+    """
+
+    def __init__(self, timeout_s: float = 300.0, context: str = "",
+                 on_stall=None):
+        import threading
+        self.timeout_s = timeout_s
+        self.context = context
+        self.on_stall = on_stall
+        self._timer: Optional[object] = None
+        self._threading = threading
+        self.fired = False
+
+    def _fire(self):
+        self.fired = True
+        msg = (f"WATCHDOG: no progress for {self.timeout_s:.0f}s"
+               + (f" in {self.context}" if self.context else "")
+               + " — likely a device/relay stall. Safe recovery: kill this "
+               "process and resume from the latest checkpoint "
+               "(train --resume-from <ckpt>).")
+        print(msg, flush=True)
+        if self.on_stall is not None:
+            self.on_stall()
+
+    def __enter__(self):
+        self.fired = False
+        self._timer = self._threading.Timer(self.timeout_s, self._fire)
+        self._timer.daemon = True
+        self._timer.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._timer.cancel()
+        return False

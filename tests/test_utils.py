@@ -75,3 +75,19 @@ def test_profiler_trace_writes_artifacts(tmp_path):
         (x @ x).block_until_ready()
     files = list((tmp_path / "prof").rglob("*"))
     assert any(f.is_file() for f in files), "no trace artifacts written"
+
+
+def test_stall_watchdog_fires_and_cancels(capsys):
+    import time as _time
+    from music_style_transfer_ldm_tpu.utils.profiling import StallWatchdog
+    # cancels cleanly when work finishes in time
+    with StallWatchdog(timeout_s=5.0, context="fast") as wd:
+        pass
+    _time.sleep(0.05)
+    assert not wd.fired
+    # fires when work overruns
+    with StallWatchdog(timeout_s=0.05, context="slow epoch") as wd:
+        _time.sleep(0.3)
+    assert wd.fired
+    out = capsys.readouterr().out
+    assert "WATCHDOG" in out and "slow epoch" in out
