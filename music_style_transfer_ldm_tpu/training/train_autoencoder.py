@@ -159,26 +159,24 @@ class AETrainer:
         )
         for epoch in range(num_epochs):
             t0 = time.time()
-            watchdog = StallWatchdog(timeout_s=600,
-                                     context=f"AE epoch {epoch}")
-            watchdog.__enter__()
-            # Losses stay on device until epoch end (per-step float() would
-            # stall the dispatch pipeline with a sync readback).
-            train_losses = []
-            for batch in train_loader:
-                x = batch[0] if isinstance(batch, tuple) else batch
-                x = shard_batch(jnp.asarray(x), self.mesh)
-                state, loss = self._train_step(state, x, vgg)
-                train_losses.append(loss)
-            val_losses = []
-            for batch in val_loader:
-                x = batch[0] if isinstance(batch, tuple) else batch
-                x = shard_batch(jnp.asarray(x), self.mesh)
-                val_losses.append(self._val_step(state, x, vgg))
+            with StallWatchdog(timeout_s=600, context=f"AE epoch {epoch}"):
+                # Losses stay on device until epoch end (per-step float()
+                # would stall the dispatch pipeline with a sync readback).
+                train_losses = []
+                for batch in train_loader:
+                    x = batch[0] if isinstance(batch, tuple) else batch
+                    x = shard_batch(jnp.asarray(x), self.mesh)
+                    state, loss = self._train_step(state, x, vgg)
+                    train_losses.append(loss)
+                val_losses = []
+                for batch in val_loader:
+                    x = batch[0] if isinstance(batch, tuple) else batch
+                    x = shard_batch(jnp.asarray(x), self.mesh)
+                    val_losses.append(self._val_step(state, x, vgg))
 
-            train_loss = float(np.mean([float(l) for l in train_losses]))
-            val_loss = float(np.mean([float(l) for l in val_losses]))
-            watchdog.__exit__()
+                train_loss = float(
+                    np.mean([float(l) for l in train_losses]))
+                val_loss = float(np.mean([float(l) for l in val_losses]))
 
             self.plateau = plateau_update(self.plateau, val_loss)
             state = state.replace(opt_state=set_learning_rate(
