@@ -63,7 +63,10 @@ def _audio_to_wav_b64(audio: np.ndarray, sr: int) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
-def make_handler(engine):
+MAX_REQUEST_BYTES = 32 * 1024 * 1024  # base64 WAV/PNG payloads
+
+
+def make_handler(engine, max_request_bytes: int = MAX_REQUEST_BYTES):
     ap = engine.ap
 
     class Handler(BaseHTTPRequestHandler):
@@ -92,6 +95,10 @@ def make_handler(engine):
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > max_request_bytes:
+                    self._json(413, {"error": f"request body {length} bytes "
+                                              f"exceeds {max_request_bytes}"})
+                    return
                 req = json.loads(self.rfile.read(length) or b"{}")
                 content = self._decode_input(req, "content")
                 style = self._decode_input(req, "style")

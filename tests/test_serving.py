@@ -162,3 +162,22 @@ def test_http_wav_content_input(engine, rng):
     finally:
         httpd.shutdown()
         engine.stop()
+
+
+def test_http_oversized_request_rejected(engine):
+    httpd = serve(engine, host="127.0.0.1", port=0, block=False)
+    port = httpd.server_address[1]
+    try:
+        body = b'{"content_png_b64": "' + b"A" * (33 * 1024 * 1024) + b'"}'
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    f"http://127.0.0.1:{port}/v1/transfer", data=body,
+                    headers={"Content-Type": "application/json"}),
+                timeout=60)
+            assert False, "expected 413"
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+    finally:
+        httpd.shutdown()
+        engine.stop()
