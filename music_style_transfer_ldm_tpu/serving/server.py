@@ -96,6 +96,14 @@ def make_handler(engine, max_request_bytes: int = MAX_REQUEST_BYTES):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 if length > max_request_bytes:
+                    # Drain so the client can finish writing and read the
+                    # status instead of hitting a broken pipe.
+                    remaining = length
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(remaining, 1 << 20))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
                     self._json(413, {"error": f"request body {length} bytes "
                                               f"exceeds {max_request_bytes}"})
                     return
