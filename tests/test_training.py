@@ -165,3 +165,44 @@ def test_tensor_parallel_step_multi_device(rng):
     x = shard_batch(jnp.asarray(rng.rand(8, 64, 64, 1), jnp.float32), mesh)
     state, loss = trainer._train_step(state, x, None)
     assert np.isfinite(float(loss))
+
+
+def test_full_train_drivers_and_resume(tmp_path, rng):
+    """The complete train() epoch drivers (watchdog, metric deferral,
+    checkpointing, plateau LR) and resume_from, end to end on tiny data."""
+    cfg = tiny_config()
+
+    class DS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return rng.rand(64, 64, 1).astype(np.float32), 0
+
+    class PairDS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return ((rng.rand(64, 64, 1).astype(np.float32), "a"),
+                    (rng.rand(64, 64, 1).astype(np.float32), "b"))
+
+    from music_style_transfer_ldm_tpu.datasets import BatchLoader
+    ae = AETrainer(cfg, perceptual=False)
+    ae.train(BatchLoader(DS(), 4, shuffle=False),
+             BatchLoader(DS(), 4, shuffle=False), num_epochs=2,
+             out_dir=tmp_path / "ae")
+    assert (tmp_path / "ae" / "pretrained").exists()
+    assert (tmp_path / "ae" / "metrics.csv").exists()
+
+    ldm = LDMTrainer(cfg, perceptual=False)
+    pre = ckpt_lib.load_autoencoder(tmp_path / "ae" / "pretrained")
+    ldm.train(BatchLoader(PairDS(), 4, shuffle=False), num_epochs=1,
+              pretrained_autoencoder=pre, out_dir=tmp_path / "ldm")
+    assert (tmp_path / "ldm" / "ldm_final").exists()
+
+    # resume from the final state (exercises format_version round-trip)
+    ldm2 = LDMTrainer(cfg, perceptual=False)
+    ldm2.train(BatchLoader(PairDS(), 4, shuffle=False), num_epochs=1,
+               pretrained_autoencoder=pre, out_dir=tmp_path / "ldm2",
+               resume_from=tmp_path / "ldm" / "ldm_final")
