@@ -37,6 +37,47 @@ def _sync(out) -> None:
     np.asarray(jax.device_get(leaf.ravel()[0]))
 
 
+def _peak_flops_per_sec(device) -> float | None:
+    """Peak dense bf16 FLOP/s for the chip, or None if unknown (e.g. CPU).
+
+    Published per-chip peaks: v2 46, v3 123, v4 275, v5e 197, v5p 459,
+    v6e 918 TFLOP/s.  Substring match on device_kind; order matters
+    (v5p before v5).
+    """
+    kind = str(getattr(device, "device_kind", "")).lower()
+    for key, peak in (("v6", 918e12), ("v5p", 459e12), ("v5", 197e12),
+                      ("v4", 275e12), ("v3", 123e12), ("v2", 46e12)):
+        if key in kind:
+            return peak
+    return None
+
+
+def _flops(jitted, *args) -> float | None:
+    """Total FLOPs of one call, from XLA's compiled cost analysis.
+
+    Falls back to HLO-level (pre-compile) analysis if the backend's
+    executable doesn't expose cost_analysis (remote-compile tunnel)."""
+    try:
+        lowered = jitted.lower(*args)
+        try:
+            ca = lowered.compile().cost_analysis()
+        except Exception:
+            ca = lowered.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu(flops: float | None, seconds: float, peak: float | None
+         ) -> float | None:
+    if flops is None or peak is None or seconds <= 0:
+        return None
+    return flops / seconds / peak
+
+
 def timed(fn, *args, repeats: int = 8, warmup: int = 25):
     out = fn(*args)
     _sync(out)  # compile
@@ -123,12 +164,44 @@ def main() -> None:
     log(f"10s clip end-to-end (mel->encode->50-step DDIM->decode->GL): "
         f"{e2e_s:.3f} s (target < 5 s); audio {audio.shape}")
 
-    # ---- secondary: batched serving throughput ---------------------------
+    # ---- secondary: batched serving throughput + MFU ---------------------
+    peak = _peak_flops_per_sec(jax.devices()[0])
     content64 = jnp.tile(content, (64, 1, 1, 1))
     style64 = jnp.tile(style, (64, 1, 1, 1))
     thr_s, _ = timed(transfer_jit, content64, style64, repeats=2, warmup=5)
+    transfer_flops = _flops(transfer_jit, content64, style64)
+    transfer_mfu = _mfu(transfer_flops, thr_s, peak)
     log(f"batch-64 transfer throughput: {64 / thr_s:.0f} clips/s "
-        f"({thr_s * 1000:.1f} ms/batch)")
+        f"({thr_s * 1000:.1f} ms/batch), "
+        f"{(transfer_flops or 0) / 1e9:.1f} GFLOP"
+        + (f", MFU {transfer_mfu:.1%}" if transfer_mfu is not None else ""))
+
+    # ---- secondary: batch-128 LDM train step (reference recipe) + MFU ----
+    from music_style_transfer_ldm_tpu.training import LDMTrainer
+    trainer = LDMTrainer(cfg)  # full recipe: lpips compression + vggish style
+    state = trainer.init_state(0)
+    fparams = trainer._feature_params()
+    c128 = jnp.tile(content, (128, 1, 1, 1))
+    s128 = jnp.tile(style, (128, 1, 1, 1))
+    key = jax.random.PRNGKey(9)
+    train_flops = _flops(trainer._train_step, state, c128, s128, key, fparams)
+    # donate_argnums=(0,) invalidates the old state: thread it through.
+    state, m = trainer._train_step(state, c128, s128, key, fparams)
+    _sync(m["total_loss"])  # compile
+    for _ in range(25):  # relay warm-up
+        state, m = trainer._train_step(state, c128, s128, key, fparams)
+    _sync(m["total_loss"])
+    train_s = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        state, m = trainer._train_step(state, c128, s128, key, fparams)
+        _sync(m["total_loss"])
+        train_s = min(train_s, time.perf_counter() - t0)
+    train_mfu = _mfu(train_flops, train_s, peak)
+    log(f"batch-128 train step: {train_s * 1000:.1f} ms, "
+        f"{(train_flops or 0) / 1e9:.1f} GFLOP"
+        + (f", MFU {train_mfu:.1%}" if train_mfu is not None else "")
+        + f" ({128 / train_s:.0f} samples/s)")
 
     baseline_ms = 50.0  # BASELINE.md north-star: < 50 ms/DDIM step
     print(json.dumps({
@@ -136,6 +209,18 @@ def main() -> None:
         "value": round(step_ms, 3),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / step_ms, 2),
+        "chip": str(getattr(jax.devices()[0], "device_kind", "unknown")),
+        "chip_peak_tflops": (round(peak / 1e12) if peak else None),
+        "transfer_b64_ms": round(thr_s * 1000, 2),
+        "transfer_b64_gflop": (round(transfer_flops / 1e9, 2)
+                               if transfer_flops else None),
+        "mfu_transfer_b64": (round(transfer_mfu, 4)
+                             if transfer_mfu is not None else None),
+        "train_b128_step_ms": round(train_s * 1000, 2),
+        "train_b128_gflop": (round(train_flops / 1e9, 2)
+                             if train_flops else None),
+        "mfu_train_b128": (round(train_mfu, 4)
+                           if train_mfu is not None else None),
     }))
 
 

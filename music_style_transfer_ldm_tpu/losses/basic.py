@@ -15,40 +15,66 @@ import jax
 import jax.numpy as jnp
 
 
-def mse(a: jax.Array, b: jax.Array) -> jax.Array:
-    return jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
+def weighted_batch_mean(per_elem: jax.Array,
+                        weights: Optional[jax.Array]) -> jax.Array:
+    """Mean of elementwise values, renormalized by per-sample weights.
+
+    ``weights`` is a [B] validity vector (1 for real rows, 0 for rows the
+    data-parallel padder appended, see parallel/sharding.py); the result
+    equals the plain mean over the unpadded batch.  weights=None is the
+    plain global mean.
+    """
+    per_elem = per_elem.astype(jnp.float32)
+    if weights is None:
+        return jnp.mean(per_elem)
+    per_sample = jnp.mean(per_elem, axis=tuple(range(1, per_elem.ndim)))
+    w = weights.astype(jnp.float32)
+    return jnp.sum(per_sample * w) / jnp.sum(w)
 
 
-def kl_regularization_loss(latent: jax.Array) -> jax.Array:
+def mse(a: jax.Array, b: jax.Array,
+        weights: Optional[jax.Array] = None) -> jax.Array:
+    return weighted_batch_mean(
+        (a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2, weights)
+
+
+def kl_regularization_loss(latent: jax.Array,
+                           weights: Optional[jax.Array] = None) -> jax.Array:
     """mean(0.5 * (z^2 - 1 - log(z^2 + 1e-8))) — pushes latent activations
     toward unit variance (ref: loss.py:31-32)."""
     z2 = latent.astype(jnp.float32) ** 2
-    return jnp.mean(0.5 * (z2 - 1.0 - jnp.log(z2 + 1e-8)))
+    return weighted_batch_mean(0.5 * (z2 - 1.0 - jnp.log(z2 + 1e-8)), weights)
 
 
-def diffusion_loss(noise_pred: jax.Array, noise_target: jax.Array
-                   ) -> jax.Array:
+def diffusion_loss(noise_pred: jax.Array, noise_target: jax.Array,
+                   weights: Optional[jax.Array] = None) -> jax.Array:
     """MSE(eps_hat, eps) (ref: loss.py:48-49)."""
-    return mse(noise_pred, noise_target)
+    return mse(noise_pred, noise_target, weights)
 
 
 def compression_loss(original: jax.Array, reconstructed: jax.Array,
                      latent: jax.Array,
                      feature_loss: Optional[Callable] = None,
                      perceptual_weight: float = 0.1,
-                     kl_weight: float = 0.01) -> jax.Array:
-    """MSE + 0.1*perceptual + 0.01*KL (ref: loss.py:34-45)."""
-    loss = mse(reconstructed, original)
+                     kl_weight: float = 0.01,
+                     weights: Optional[jax.Array] = None) -> jax.Array:
+    """MSE + 0.1*perceptual + 0.01*KL (ref: loss.py:34-45).
+
+    ``feature_loss(a, b, weights)`` must accept the validity weights so the
+    perceptual term is renormalized the same way (see losses/feature.py)."""
+    loss = mse(reconstructed, original, weights)
     if feature_loss is not None:
-        loss = loss + perceptual_weight * feature_loss(original, reconstructed)
-    return loss + kl_weight * kl_regularization_loss(latent)
+        loss = loss + perceptual_weight * feature_loss(original,
+                                                       reconstructed, weights)
+    return loss + kl_weight * kl_regularization_loss(latent, weights)
 
 
 def style_loss(reconstructed: jax.Array, style_spec: jax.Array,
-               feature_loss: Callable) -> jax.Array:
+               feature_loss: Callable,
+               weights: Optional[jax.Array] = None) -> jax.Array:
     """Perceptual distance between output and style image
     (ref: loss.py:104-106)."""
-    return feature_loss(reconstructed, style_spec)
+    return feature_loss(reconstructed, style_spec, weights)
 
 
 def perceptual_loss(original: jax.Array, reconstructed: jax.Array,

@@ -50,12 +50,14 @@ class FeatureMetric:
             self.params = self.module.init(jax.random.PRNGKey(seed),
                                            x)["params"]
 
-    def distance(self, params, a: jax.Array, b: jax.Array) -> jax.Array:
-        """Pure function of (params, a, b) — safe to close over the module
-        only (params are passed through the jit boundary explicitly)."""
+    def distance(self, params, a: jax.Array, b: jax.Array,
+                 weights=None) -> jax.Array:
+        """Pure function of (params, a, b[, weights]) — safe to close over
+        the module only (params are passed through the jit boundary
+        explicitly).  ``weights`` renormalizes over padded batch rows."""
         if self.kind == "lpips":
-            return self.module.apply({"params": params}, a, b)
-        return vggish_feature_distance(self.module, params, a, b)
+            return self.module.apply({"params": params}, a, b, weights)
+        return vggish_feature_distance(self.module, params, a, b, weights)
 
 
 def build_feature_metric(kind: str, dtype=jnp.float32,

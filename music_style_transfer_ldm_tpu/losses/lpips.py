@@ -62,7 +62,12 @@ class LPIPS(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+    def __call__(self, a: jax.Array, b: jax.Array,
+                 weights=None) -> jax.Array:
+        from music_style_transfer_ldm_tpu.losses.basic import (
+            weighted_batch_mean,
+        )
+
         # [0,1] (or [-1,1]) grayscale/NHWC -> 3-channel [-1,1].
         def prep(x):
             x = x.astype(jnp.float32)
@@ -81,8 +86,8 @@ class LPIPS(nn.Module):
             head = nn.Conv(1, (1, 1), use_bias=False, name=f"lin{i}",
                            dtype=self.dtype,
                            kernel_init=nn.initializers.uniform(scale=0.1))
-            total = total + jnp.mean(head(diff.astype(self.dtype))
-                                     .astype(jnp.float32))
+            total = total + weighted_batch_mean(
+                head(diff.astype(self.dtype)).astype(jnp.float32), weights)
         return total
 
 
@@ -99,8 +104,9 @@ class LPIPSLoss:
                                       x)["params"]
         self.params = jax.lax.stop_gradient(params)
 
-    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
-        return self.module.apply({"params": self.params}, a, b)
+    def __call__(self, a: jax.Array, b: jax.Array,
+                 weights=None) -> jax.Array:
+        return self.module.apply({"params": self.params}, a, b, weights)
 
 
 def convert_torch_lpips_state_dict(state_dict: Dict[str, Any]):

@@ -75,14 +75,16 @@ class VGGishFeatureLoss:
                 jnp.zeros(input_shape, jnp.float32))["params"]
         self.params = jax.lax.stop_gradient(params)
 
-    def __call__(self, predicted: jax.Array, target: jax.Array) -> jax.Array:
+    def __call__(self, predicted: jax.Array, target: jax.Array,
+                 weights=None) -> jax.Array:
         return vggish_feature_distance(self.module, self.params, predicted,
-                                       target)
+                                       target, weights)
 
 
 def vggish_feature_distance(module: VGGishFeatures, params,
                             predicted: jax.Array,
-                            target: jax.Array) -> jax.Array:
+                            target: jax.Array,
+                            weights=None) -> jax.Array:
     """Std-normalized multi-layer MSE (ref: loss.py:92-101).
 
     Matches the reference's arithmetic: each feature map is divided by its
@@ -94,6 +96,8 @@ def vggish_feature_distance(module: VGGishFeatures, params,
     (the reference wraps extraction in no_grad + frozen weights; here the
     params are stop_gradient'ed by the caller).
     """
+    from music_style_transfer_ldm_tpu.losses.basic import weighted_batch_mean
+
     feats_p = module.apply({"params": params}, predicted)
     feats_t = module.apply({"params": params}, target)
     total = jnp.float32(0.0)
@@ -101,7 +105,7 @@ def vggish_feature_distance(module: VGGishFeatures, params,
         axes = (1, 2, 3)  # per-sample over H, W, C (ref dims [1,2,3] in NCHW)
         p = p / (jnp.std(p, axis=axes, keepdims=True) + 1e-8)
         t = t / (jnp.std(t, axis=axes, keepdims=True) + 1e-8)
-        total = total + jnp.mean((p - t) ** 2)
+        total = total + weighted_batch_mean((p - t) ** 2, weights)
     return total / len(feats_p)
 
 

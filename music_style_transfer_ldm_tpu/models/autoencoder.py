@@ -33,19 +33,27 @@ class SpectrogramEncoder(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 sample_weights: jax.Array | None = None) -> jax.Array:
+        """sample_weights: optional [B] validity vector (1 real, 0 padded);
+        in train mode, padded rows are excluded from the batch statistics
+        (flax BatchNorm's mask support) so the data-parallel padder
+        (parallel/sharding.py) can't contaminate running stats."""
+        mask = (sample_weights.reshape(-1, 1, 1, 1) > 0
+                if sample_weights is not None else None)
         bn = lambda name: nn.BatchNorm(use_running_average=not train,
                                        momentum=0.9, epsilon=1e-5, name=name,
                                        dtype=self.dtype,
                                        param_dtype=self.param_dtype)
         x = x.astype(self.dtype)
         x = conv_s2(64, "conv1", self.dtype, self.param_dtype)(x)    # 64x64
-        x = nn.relu(bn("bn1")(x))
+        x = nn.relu(bn("bn1")(x, mask=mask))
         x = conv_s2(128, "conv2", self.dtype, self.param_dtype)(x)   # 32x32
-        x = nn.relu(bn("bn2")(x))
+        x = nn.relu(bn("bn2")(x, mask=mask))
         x = conv_s2(self.latent_dim, "conv3", self.dtype,
                     self.param_dtype)(x)                             # 16x16
-        x = bn("bn3")(x)  # final layer: BN only, no ReLU (ref: model.py:24)
+        # final layer: BN only, no ReLU (ref: model.py:24)
+        x = bn("bn3")(x, mask=mask)
         return x
 
 
@@ -58,15 +66,18 @@ class SpectrogramDecoder(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, z: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, z: jax.Array, train: bool = False,
+                 sample_weights: jax.Array | None = None) -> jax.Array:
+        mask = (sample_weights.reshape(-1, 1, 1, 1) > 0
+                if sample_weights is not None else None)
         bn = lambda name: nn.BatchNorm(use_running_average=not train,
                                        momentum=0.9, epsilon=1e-5, name=name,
                                        dtype=self.dtype,
                                        param_dtype=self.param_dtype)
         z = z.astype(self.dtype)
         z = convT_k4(128, "deconv1", self.dtype, self.param_dtype)(z)  # 32x32
-        z = nn.relu(bn("bn1")(z))
+        z = nn.relu(bn("bn1")(z, mask=mask))
         z = convT_k4(64, "deconv2", self.dtype, self.param_dtype)(z)   # 64x64
-        z = nn.relu(bn("bn2")(z))
+        z = nn.relu(bn("bn2")(z, mask=mask))
         z = convT_k4(1, "deconv3", self.dtype, self.param_dtype)(z)    # 128x128
         return jnp.tanh(z)

@@ -85,26 +85,32 @@ class LDM(nn.Module):
 
     def __call__(self, x: jax.Array, style: jax.Array, t: jax.Array,
                  train: bool = False,
-                 frozen_encoder: bool = False) -> Dict[str, jax.Array]:
+                 frozen_encoder: bool = False,
+                 sample_weights: Optional[jax.Array] = None
+                 ) -> Dict[str, jax.Array]:
         """Returns {z_t, noise, noise_pred, z_0, reconstructed}.
 
         Noise is drawn from the 'diffusion' RNG stream.  frozen_encoder=True
         keeps the encoder in eval mode (running BN stats) during LDM
         training, matching the reference's encoder.eval()/decoder.train()
-        split (ref: model.py:346-347).
+        split (ref: model.py:346-347).  sample_weights is an optional [B]
+        validity vector excluding data-parallel pad rows from train-mode
+        batch statistics (see parallel/sharding.py).
         """
         sched = self.schedule
         x = x.astype(jnp.float32)
         style = style.astype(jnp.float32)
 
-        z_0 = self.encoder(x, train=train and not frozen_encoder)
+        z_0 = self.encoder(x, train=train and not frozen_encoder,
+                           sample_weights=sample_weights)
         style_embedding = self.style_encoder(style)
         key = self.make_rng("diffusion")
         z_t, noise = sched.q_sample(key, z_0.astype(jnp.float32), t)
         noise_pred = self.unet(z_t, t, style_embedding)
         z_0_pred = sched.predict_start_from_noise(
             z_t, t, noise_pred.astype(jnp.float32))
-        reconstructed = self.decoder(z_0_pred, train=train)
+        reconstructed = self.decoder(z_0_pred, train=train,
+                                     sample_weights=sample_weights)
         reconstructed = (reconstructed.astype(jnp.float32) + 1.0) / 2.0
         return {
             "z_t": z_t,

@@ -53,13 +53,33 @@ def param_sharding_tree(params, mesh: Mesh):
         params)
 
 
+def batch_validity_weights(n: int, multiple: int, mesh: Mesh = None):
+    """[padded_n] float32 validity weights for a batch padded from n rows:
+    1.0 for the n real rows, 0.0 for the pad rows, or None if no padding
+    is needed.  Trainers pass these into the losses (weighted-mean
+    renormalization, losses/basic.py) and into BatchNorm masks so the
+    tail batch's loss and batch statistics equal the unpadded ones.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+    rem = n % multiple
+    if rem == 0:
+        return None
+    w = np.zeros(n + multiple - rem, np.float32)
+    w[:n] = 1.0
+    w = jnp.asarray(w)
+    if mesh is not None:
+        w = jax.device_put(w, batch_sharding(mesh, ndim=1))
+    return w
+
+
 def pad_batch_to_multiple(x, multiple: int):
     """Pad the leading dim up to a multiple by repeating the final row.
 
     Partial trailing batches can't split over the 'data' axis; repeating
     rows keeps shapes static for jit (each distinct batch size still
-    compiles once) while only slightly re-weighting the final batch's mean
-    loss.
+    compiles once).  Pair with batch_validity_weights so pad rows are
+    excluded from losses and batch statistics.
     """
     import jax.numpy as jnp
     n = x.shape[0]

@@ -130,6 +130,10 @@ class InferenceEngine:
                     for k in parts[0]}
         bucket = min(k for k in self._warm_buckets if k >= b)
         pad = bucket - b
+        # Pad rows cannot affect real rows' outputs: the transfer path runs
+        # eval-mode (per-sample BN running stats, per-sample attention/convs,
+        # per-item PRNG keys), so there is no cross-sample coupling at
+        # inference; outputs are cropped back to the first b rows below.
         self._stats["padded_slots"] += pad
         if pad:
             content = np.concatenate(

@@ -23,7 +23,7 @@ from music_style_transfer_ldm_tpu.models.autoencoder import (
 )
 from music_style_transfer_ldm_tpu.parallel.mesh import make_mesh
 from music_style_transfer_ldm_tpu.parallel.sharding import (
-    shard_batch, shard_params,
+    batch_validity_weights, shard_batch, shard_params,
 )
 from music_style_transfer_ldm_tpu.training import checkpoint as ckpt_lib
 from music_style_transfer_ldm_tpu.training.metrics import MetricLogger
@@ -84,17 +84,17 @@ class AETrainer:
 
     # ---------------- jitted compute ---------------------------------------
 
-    def _forward(self, params, batch_stats, x, train: bool):
+    def _forward(self, params, batch_stats, x, train: bool, weights=None):
         mutable = ["batch_stats"] if train else False
         enc_out = self.encoder.apply(
             {"params": params["encoder"],
              "batch_stats": batch_stats["encoder"]},
-            x, train=train, mutable=mutable)
+            x, train=train, sample_weights=weights, mutable=mutable)
         z, enc_updates = enc_out if train else (enc_out, None)
         dec_out = self.decoder.apply(
             {"params": params["decoder"],
              "batch_stats": batch_stats["decoder"]},
-            z, train=train, mutable=mutable)
+            z, train=train, sample_weights=weights, mutable=mutable)
         recon, dec_updates = dec_out if train else (dec_out, None)
         new_stats = None
         if train:
@@ -102,8 +102,10 @@ class AETrainer:
                          "decoder": dec_updates["batch_stats"]}
         return z, recon, new_stats
 
-    def _loss(self, params, batch_stats, x, feature_params, train: bool):
-        z, recon, new_stats = self._forward(params, batch_stats, x, train)
+    def _loss(self, params, batch_stats, x, feature_params, train: bool,
+              weights=None):
+        z, recon, new_stats = self._forward(params, batch_stats, x, train,
+                                            weights)
         # Decoder outputs [-1, 1]; inputs are [0, 1] — compare in [0, 1]
         # like the reference (it feeds tanh output straight to MSE against
         # [0,1] targets during AE training; we rescale for a well-posed
@@ -111,16 +113,17 @@ class AETrainer:
         recon01 = (recon + 1.0) / 2.0
         feature_loss = None
         if self.feature is not None:
-            feature_loss = lambda a, b: self.feature.distance(
-                feature_params, a, b)
+            feature_loss = lambda a, b, w: self.feature.distance(
+                feature_params, a, b, w)
         loss = compression_loss(x, recon01, z, feature_loss,
-                                self.perceptual_weight, self.kl_weight)
+                                self.perceptual_weight, self.kl_weight,
+                                weights=weights)
         return loss, new_stats
 
-    def _step(self, state: TrainState, x, feature_params):
+    def _step(self, state: TrainState, x, feature_params, weights=None):
         def loss_fn(params):
             return self._loss(params, state.batch_stats, x, feature_params,
-                              train=True)
+                              train=True, weights=weights)
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state,
@@ -130,9 +133,9 @@ class AETrainer:
         return TrainState(params=params, batch_stats=new_stats,
                           opt_state=opt_state, step=state.step + 1), loss
 
-    def _eval(self, state: TrainState, x, feature_params):
+    def _eval(self, state: TrainState, x, feature_params, weights=None):
         loss, _ = self._loss(state.params, state.batch_stats, x,
-                             feature_params, train=False)
+                             feature_params, train=False, weights=weights)
         return loss
 
     # ---------------- epoch driver -----------------------------------------
@@ -163,16 +166,19 @@ class AETrainer:
                 # Losses stay on device until epoch end (per-step float()
                 # would stall the dispatch pipeline with a sync readback).
                 train_losses = []
+                n_data = self.mesh.shape["data"]
                 for batch in train_loader:
                     x = batch[0] if isinstance(batch, tuple) else batch
+                    w = batch_validity_weights(len(x), n_data, self.mesh)
                     x = shard_batch(jnp.asarray(x), self.mesh)
-                    state, loss = self._train_step(state, x, vgg)
+                    state, loss = self._train_step(state, x, vgg, w)
                     train_losses.append(loss)
                 val_losses = []
                 for batch in val_loader:
                     x = batch[0] if isinstance(batch, tuple) else batch
+                    w = batch_validity_weights(len(x), n_data, self.mesh)
                     x = shard_batch(jnp.asarray(x), self.mesh)
-                    val_losses.append(self._val_step(state, x, vgg))
+                    val_losses.append(self._val_step(state, x, vgg, w))
 
                 train_loss = float(
                     np.mean([float(l) for l in train_losses]))

@@ -29,7 +29,7 @@ from music_style_transfer_ldm_tpu.losses.feature import build_feature_metric
 from music_style_transfer_ldm_tpu.models.ldm import LDM
 from music_style_transfer_ldm_tpu.parallel.mesh import make_mesh
 from music_style_transfer_ldm_tpu.parallel.sharding import (
-    shard_batch, shard_params,
+    batch_validity_weights, shard_batch, shard_params,
 )
 from music_style_transfer_ldm_tpu.training import checkpoint as ckpt_lib
 from music_style_transfer_ldm_tpu.training.metrics import MetricLogger
@@ -129,26 +129,29 @@ class LDMTrainer:
     # ---------------- jitted step -------------------------------------------
 
     def _losses(self, params, batch_stats, content, style, t, drng,
-                feature_params):
+                feature_params, weights=None):
         out, updates = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             content, style, t, train=True, frozen_encoder=True,
+            sample_weights=weights,
             rngs={"diffusion": drng}, mutable=["batch_stats"])
 
         comp_params, style_params = feature_params
         comp_feature = None
         if self.compression_feature is not None:
-            comp_feature = lambda a, b: self.compression_feature.distance(
-                comp_params, a, b)
+            comp_feature = lambda a, b, w: self.compression_feature.distance(
+                comp_params, a, b, w)
 
-        denoising = diffusion_loss(out["noise_pred"], out["noise"])
+        denoising = diffusion_loss(out["noise_pred"], out["noise"], weights)
         compression = compression_loss(content, out["reconstructed"],
                                        out["z_0"], comp_feature,
-                                       self.perceptual_weight, self.kl_weight)
+                                       self.perceptual_weight, self.kl_weight,
+                                       weights=weights)
         if self.style_feature is not None:
-            style_fn = lambda a, b: self.style_feature.distance(
-                style_params, a, b)
-            style_l = style_loss(out["reconstructed"], style, style_fn)
+            style_fn = lambda a, b, w: self.style_feature.distance(
+                style_params, a, b, w)
+            style_l = style_loss(out["reconstructed"], style, style_fn,
+                                 weights)
             if self.style_loss_stop_gradient:
                 # ref: loss.py:78 torch.no_grad — value logged, no gradient.
                 style_l = jax.lax.stop_gradient(style_l)
@@ -160,7 +163,8 @@ class LDMTrainer:
                    "denoising_loss": denoising, "style_loss": style_l}
         return total, (metrics, updates["batch_stats"])
 
-    def _step(self, state: TrainState, content, style, key, feature_params):
+    def _step(self, state: TrainState, content, style, key, feature_params,
+              weights=None):
         tkey, dkey = jax.random.split(key)
         batch = content.shape[0]
         # t ~ Uniform{0..T-1} per element (ref: train.py:172).
@@ -169,7 +173,7 @@ class LDMTrainer:
 
         def loss_fn(params):
             return self._losses(params, state.batch_stats, content, style, t,
-                                dkey, feature_params)
+                                dkey, feature_params, weights)
 
         (_, (metrics, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -195,12 +199,18 @@ class LDMTrainer:
         # force a synchronous host readback and stall the dispatch pipeline
         # (measured 74 ms/step sync vs fully-pipelined dispatch without).
         collected = []
+        n_data = self.mesh.shape["data"]
         for i, ((content, _), (style, _)) in enumerate(loader):
+            n = len(content)
+            # Validity weights mask out rows the data-parallel padder adds
+            # to a partial tail batch — both in the losses (weighted-mean
+            # renormalization) and in BatchNorm statistics.
+            weights = batch_validity_weights(n, n_data, self.mesh)
             content = shard_batch(jnp.asarray(content), self.mesh)
             style = shard_batch(jnp.asarray(style), self.mesh)
             key = jax.random.fold_in(base_key, epoch * 100000 + i)
             state, metrics = self._train_step(state, content, style, key,
-                                              self._feature_params())
+                                              self._feature_params(), weights)
             collected.append(metrics)
         n = len(collected)
         sums: dict = {}
