@@ -16,6 +16,32 @@ from typing import Iterator, Optional, Sequence, Tuple
 import numpy as np
 
 
+def process_local_indices(indices, process_index: int,
+                          process_count: int) -> np.ndarray:
+    """Contiguous per-process slice of a global batch's index list.
+
+    Multi-host input sharding: every process computes the same global batch
+    order (seeded shuffle), then loads only rows
+    [pi * ceil(n/P) : (pi + 1) * ceil(n/P)] of each batch.  A partial tail
+    batch is padded by repeating its final index so all processes yield the
+    same local shape (required to assemble the global array with
+    jax.make_array_from_process_local_data, see
+    parallel/sharding.py:global_batch_from_local).  The contiguous layout
+    matches NamedSharding's row ownership when the mesh is built from
+    jax.devices() (process-contiguous device order).
+    """
+    if not 0 <= process_index < process_count:
+        raise ValueError(f"process_index {process_index} not in "
+                         f"[0, {process_count})")
+    idx = np.asarray(indices)
+    n = len(idx)
+    per = -(-n // process_count)  # ceil
+    short = per * process_count - n
+    if short:
+        idx = np.concatenate([idx, np.repeat(idx[-1:], short)])
+    return idx[process_index * per:(process_index + 1) * per]
+
+
 def train_test_split(n: int, train_fraction: float = 0.8,
                      seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """Random index split (ref: torch random_split 80/20,
@@ -36,7 +62,15 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int = 128,
                  indices: Optional[Sequence[int]] = None, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = False,
-                 num_threads: int = 8, prefetch: int = 2):
+                 num_threads: int = 8, prefetch: int = 2,
+                 process_index: int = 0, process_count: int = 1):
+        """batch_size is the GLOBAL batch size.  With process_count > 1
+        (multi-host), every process iterates the identical global batch
+        order but loads/yields only its contiguous 1/process_count slice
+        (see process_local_indices); assemble the global device array with
+        parallel.sharding.global_batch_from_local.  Prefer drop_last=True
+        multi-host: a partial tail batch is padded by repeating its final
+        row, slightly re-weighting that one batch."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.indices = (np.arange(len(dataset)) if indices is None
@@ -46,6 +80,8 @@ class BatchLoader:
         self.drop_last = drop_last
         self.num_threads = num_threads
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -79,6 +115,10 @@ class BatchLoader:
         n_batches = len(self)
         batches_idx = [order[i * self.batch_size:(i + 1) * self.batch_size]
                        for i in range(n_batches)]
+        if self.process_count > 1:
+            batches_idx = [process_local_indices(b, self.process_index,
+                                                 self.process_count)
+                           for b in batches_idx]
 
         if self.num_threads <= 1:
             for bidx in batches_idx:

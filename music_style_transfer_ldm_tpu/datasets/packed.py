@@ -179,8 +179,19 @@ class PackedSpectrogramDataset:
         x, y = self.gather(np.asarray([idx], np.int64))
         return x[0], int(y[0])
 
-    def gather(self, indices) -> tuple[np.ndarray, np.ndarray]:
-        """indices -> ([n, crop, crop, 1] float32 in [0,1], [n] int32)."""
+    def gather(self, indices, process_index: int = 0,
+               process_count: int = 1) -> tuple[np.ndarray, np.ndarray]:
+        """indices -> ([n, crop, crop, 1] float32 in [0,1], [n] int32).
+
+        With process_count > 1, ``indices`` is the GLOBAL batch and only
+        this process's contiguous slice is mmap-gathered (multi-host input
+        sharding; see datasets/loader.py:process_local_indices)."""
+        if process_count > 1:
+            from music_style_transfer_ldm_tpu.datasets.loader import (
+                process_local_indices,
+            )
+            indices = process_local_indices(indices, process_index,
+                                            process_count)
         idx = np.ascontiguousarray(indices, np.int64)
         n = len(idx)
         c = self.crop

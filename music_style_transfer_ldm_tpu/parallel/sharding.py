@@ -91,6 +91,27 @@ def pad_batch_to_multiple(x, multiple: int):
     return jnp.concatenate([x, filler], axis=0)
 
 
+def global_batch_from_local(local_batch, mesh: Mesh):
+    """Assemble a global 'data'-sharded array from per-process local rows.
+
+    Multi-host input path: each host loads only its own slice of the global
+    batch (BatchLoader(process_index=..., process_count=...) /
+    PackedSpectrogramDataset.gather(..., process_index=...)) and this
+    assembles the logical global array via
+    jax.make_array_from_process_local_data — no host ever materializes the
+    full global batch.  The loaders' contiguous per-process slicing matches
+    NamedSharding's row ownership for a mesh built from jax.devices()
+    (process-contiguous device order).  In a single-process run this equals
+    shard_batch(local_batch, mesh, pad=False).
+    """
+    import numpy as np
+
+    def place(x):
+        return jax.make_array_from_process_local_data(
+            batch_sharding(mesh, ndim=np.ndim(x)), np.asarray(x))
+    return jax.tree_util.tree_map(place, local_batch)
+
+
 def shard_batch(batch, mesh: Mesh, pad: bool = True,
                 sequence_parallel: bool = False):
     """Shard array leaves over the 'data' axis on their leading dim.
