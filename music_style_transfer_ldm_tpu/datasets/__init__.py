@@ -5,8 +5,9 @@ from music_style_transfer_ldm_tpu.datasets.folder import (  # noqa: F401
     list_image_folder, load_image_unit,
 )
 from music_style_transfer_ldm_tpu.datasets.loader import (  # noqa: F401
-    BatchLoader, prepare_dataset, train_test_split,
+    BatchLoader, PackedBatchLoader, prepare_dataset, process_local_indices,
+    train_test_split,
 )
 from music_style_transfer_ldm_tpu.datasets.packed import (  # noqa: F401
-    PackedSpectrogramDataset, build_pack,
+    PackedPairDataset, PackedSpectrogramDataset, build_pack,
 )

@@ -154,6 +154,90 @@ class BatchLoader:
         t.join()
 
 
+class PackedBatchLoader:
+    """Vectorized batch loader over a gather-capable packed dataset.
+
+    One native mmap gather per batch (datasets/packed.py) instead of
+    batch_size ``__getitem__`` calls — the specpack hot path for training
+    at the reference recipe's scale (batch 128).  ``pair=True`` (auto when
+    the dataset has ``gather_pairs``) yields the
+    ``((content, labels), (style, labels))`` structure LDMTrainer's
+    train_epoch consumes; otherwise yields ``(images, labels)``.
+    Prefetches the next batch on a background thread while the device
+    computes; same multi-host slicing contract as BatchLoader.
+    """
+
+    def __init__(self, dataset, batch_size: int = 128,
+                 indices: Optional[Sequence[int]] = None,
+                 shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = False, prefetch: int = 2,
+                 process_index: int = 0, process_count: int = 1,
+                 pair: Optional[bool] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.indices = (np.arange(len(dataset)) if indices is None
+                        else np.asarray(indices))
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+        self.pair = (hasattr(dataset, "gather_pairs") if pair is None
+                     else pair)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _fetch(self, bidx):
+        if self.pair:
+            content, style = self.dataset.gather_pairs(bidx)
+            rows = [self.dataset.pairs[int(i)] for i in bidx]
+            return ((content, [r[0] for r in rows]),
+                    (style, [r[2] for r in rows]))
+        return self.dataset.gather(bidx)
+
+    def __iter__(self) -> Iterator:
+        order = self.indices
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            order = rng.permutation(order)
+        self._epoch += 1
+        batches_idx = [order[i * self.batch_size:(i + 1) * self.batch_size]
+                       for i in range(len(self))]
+        if self.process_count > 1:
+            batches_idx = [process_local_indices(b, self.process_index,
+                                                 self.process_count)
+                           for b in batches_idx]
+
+        q: Queue = Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for bidx in batches_idx:
+                    q.put(self._fetch(bidx))
+                q.put(stop)
+            except BaseException as e:  # noqa: BLE001 — surface to consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
+            yield item
+        t.join()
+
+
 def prepare_dataset(config, root: str | None = None):
     """(train_loader, test_loader) for AE pretraining — API parity with the
     reference's prepare_dataset (ref: models/dataset.py:306-316): 80/20

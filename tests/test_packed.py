@@ -127,3 +127,39 @@ def test_packed_pair_dataset_matches_folder(tmp_path, rng):
     c, s = packed_ds.gather_pairs([0, 3, 9])
     np.testing.assert_allclose(c[1], packed_ds[3][0][0], atol=1e-7)
     np.testing.assert_allclose(s[2], packed_ds[9][1][0], atol=1e-7)
+
+
+def test_packed_batch_loader_single(pack_file):
+    from music_style_transfer_ldm_tpu.datasets.loader import PackedBatchLoader
+    path, images, labels = pack_file
+    ds = PackedSpectrogramDataset(path, use_native=False)
+    loader = PackedBatchLoader(ds, batch_size=8, shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 3  # 20 items -> 8 + 8 + 4
+    x, y = batches[0]
+    assert x.shape == (8, 128, 128, 1) and y.shape == (8,)
+    np.testing.assert_array_equal(
+        np.concatenate([b[1] for b in batches]), labels)
+
+
+def test_packed_batch_loader_pairs(pack_file, tmp_path):
+    from music_style_transfer_ldm_tpu.datasets.loader import PackedBatchLoader
+    from music_style_transfer_ldm_tpu.datasets.packed import PackedPairDataset
+    path, images, labels = pack_file
+    # tiny pairings CSV over the 3 classes
+    csv = tmp_path / "pairs.csv"
+    rows = ["guitar,0,piano,1", "piano,2,violin,0", "violin,3,guitar,1",
+            "guitar,2,violin,4", "piano,0,guitar,5"]
+    csv.write_text("\n".join(rows) + "\n")
+    ds = PackedPairDataset(path, csv, use_native=False)
+    loader = PackedBatchLoader(ds, batch_size=2, shuffle=False)
+    assert loader.pair
+    batches = list(loader)
+    assert len(batches) == 3
+    (content, l1), (style, l2) = batches[0]
+    assert content.shape == (2, 128, 128, 1)
+    assert l1 == ["guitar", "piano"] and l2 == ["piano", "violin"]
+    # Vectorized path agrees with the per-item path.
+    (c0, _), (s0, _) = ds[0]
+    np.testing.assert_allclose(content[0], c0, atol=1e-7)
+    np.testing.assert_allclose(style[0], s0, atol=1e-7)
