@@ -252,8 +252,11 @@ def cmd_serve(args) -> int:
                      max_wait_ms=args.max_wait_ms))
     print(f"warming {len(args.buckets)} batch buckets...", flush=True)
     engine.warmup()
-    print(f"serving on http://{args.host}:{args.port}", flush=True)
-    serve(engine, host=args.host, port=args.port, block=True)
+    print(f"serving on http://{args.host}:{args.port}"
+          + (" (bearer auth)" if args.auth_token else ""), flush=True)
+    serve(engine, host=args.host, port=args.port, block=True,
+          auth_token=args.auth_token, request_timeout_s=args.timeout,
+          max_queue=args.max_queue)
     return 0
 
 
@@ -370,6 +373,12 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--steps", type=int, default=50)
     sv.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4, 8])
     sv.add_argument("--max-wait-ms", type=float, default=5.0)
+    sv.add_argument("--auth-token", default=None,
+                    help="require 'Authorization: Bearer <token>'")
+    sv.add_argument("--timeout", type=float, default=120.0,
+                    help="per-request engine wait bound (504 past it)")
+    sv.add_argument("--max-queue", type=int, default=256,
+                    help="shed load with 429 when this many requests queue")
     sv.set_defaults(fn=cmd_serve)
 
     be = sub.add_parser("bench", help="run the headline benchmark")

@@ -216,5 +216,9 @@ class InferenceEngine:
                 break
             done.put(RuntimeError("engine stopped"))
 
+    def pending(self) -> int:
+        """Requests queued but not yet dispatched (load-shedding signal)."""
+        return self._queue.qsize()
+
     def stats(self) -> dict:
-        return dict(self._stats)
+        return {**self._stats, "pending": self.pending()}

@@ -64,9 +64,21 @@ def _audio_to_wav_b64(audio: np.ndarray, sr: int) -> str:
 
 
 MAX_REQUEST_BYTES = 32 * 1024 * 1024  # base64 WAV/PNG payloads
+DEFAULT_TIMEOUT_S = 120.0
+DEFAULT_MAX_QUEUE = 256
 
 
-def make_handler(engine, max_request_bytes: int = MAX_REQUEST_BYTES):
+def make_handler(engine, max_request_bytes: int = MAX_REQUEST_BYTES,
+                 auth_token: str | None = None,
+                 request_timeout_s: float = DEFAULT_TIMEOUT_S,
+                 max_queue: int = DEFAULT_MAX_QUEUE):
+    """auth_token: when set, every endpoint except /healthz (load-balancer
+    probes) requires 'Authorization: Bearer <token>' (401 otherwise).
+    request_timeout_s: per-request bound on waiting for the engine (504).
+    max_queue: load shedding — submissions are rejected with 429 while the
+    engine's pending queue exceeds this bound."""
+    import hmac
+
     ap = engine.ap
 
     class Handler(BaseHTTPRequestHandler):
@@ -81,9 +93,18 @@ def make_handler(engine, max_request_bytes: int = MAX_REQUEST_BYTES):
         def log_message(self, *args):  # quiet
             pass
 
+        def _authorized(self) -> bool:
+            if auth_token is None:
+                return True
+            got = self.headers.get("Authorization", "")
+            # constant-time compare: the token must not leak via timing
+            return hmac.compare_digest(got, f"Bearer {auth_token}")
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"status": "ok"})
+            elif not self._authorized():
+                self._json(401, {"error": "unauthorized"})
             elif self.path == "/stats":
                 self._json(200, engine.stats())
             else:
@@ -92,6 +113,18 @@ def make_handler(engine, max_request_bytes: int = MAX_REQUEST_BYTES):
         def do_POST(self):
             if self.path != "/v1/transfer":
                 self._json(404, {"error": "not found"})
+                return
+            if not self._authorized():
+                self._json(401, {"error": "unauthorized"})
+                return
+            if engine.pending() >= max_queue:
+                self.send_response(429)
+                self.send_header("Retry-After", "1")
+                body = json.dumps({"error": "server overloaded"}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
@@ -112,7 +145,13 @@ def make_handler(engine, max_request_bytes: int = MAX_REQUEST_BYTES):
                 style = self._decode_input(req, "style")
                 done = engine.submit(content, style,
                                      seed=int(req.get("seed", 0)))
-                out = done.get(timeout=600)
+                import queue as _q
+                try:
+                    out = done.get(timeout=request_timeout_s)
+                except _q.Empty:
+                    self._json(504, {"error": "request timed out after "
+                                              f"{request_timeout_s:.0f}s"})
+                    return
                 if isinstance(out, Exception):
                     raise out
                 resp = {"image_png_b64": _image_to_png_b64(out["image"])}
@@ -145,10 +184,15 @@ class _Server(ThreadingHTTPServer):
 
 
 def serve(engine, host: str = "127.0.0.1", port: int = 8787,
-          block: bool = True) -> Optional[ThreadingHTTPServer]:
+          block: bool = True, auth_token: str | None = None,
+          request_timeout_s: float = DEFAULT_TIMEOUT_S,
+          max_queue: int = DEFAULT_MAX_QUEUE
+          ) -> Optional[ThreadingHTTPServer]:
     """Start the HTTP server over a warmed engine."""
     engine.start()
-    httpd = _Server((host, port), make_handler(engine))
+    httpd = _Server((host, port), make_handler(
+        engine, auth_token=auth_token, request_timeout_s=request_timeout_s,
+        max_queue=max_queue))
     if block:
         try:
             httpd.serve_forever()

@@ -181,3 +181,90 @@ def test_http_oversized_request_rejected(engine):
     finally:
         httpd.shutdown()
         engine.stop()
+
+
+def _get(url, token=None, timeout=30):
+    req = urllib.request.Request(url)
+    if token:
+        req.add_header("Authorization", f"Bearer {token}")
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def _post_json(url, payload, token=None, timeout=60):
+    req = urllib.request.Request(url, data=json.dumps(payload).encode(),
+                                 headers={"Content-Type": "application/json"})
+    if token:
+        req.add_header("Authorization", f"Bearer {token}")
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def _tiny_png_b64(rng):
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(rng.randint(0, 256, (128, 130), np.uint8),
+                    mode="L").save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_http_bearer_auth(engine, rng):
+    import urllib.error
+    httpd = serve(engine, host="127.0.0.1", port=0, block=False,
+                  auth_token="sekrit")
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        # healthz stays open for load-balancer probes
+        with _get(f"{base}/healthz") as r:
+            assert r.status == 200
+        for token in (None, "wrong"):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _get(f"{base}/stats", token=token)
+            assert e.value.code == 401
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post_json(f"{base}/v1/transfer", {}, token=token)
+            assert e.value.code == 401
+        with _get(f"{base}/stats", token="sekrit") as r:
+            assert r.status == 200
+        png = _tiny_png_b64(rng)
+        with _post_json(f"{base}/v1/transfer",
+                        {"content_png_b64": png, "style_png_b64": png},
+                        token="sekrit", timeout=120) as r:
+            assert r.status == 200
+    finally:
+        httpd.shutdown()
+        engine.stop()
+
+
+def test_http_request_timeout_returns_504(engine, rng):
+    import urllib.error
+    httpd = serve(engine, host="127.0.0.1", port=0, block=False,
+                  request_timeout_s=0.0)
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        png = _tiny_png_b64(rng)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_json(f"{base}/v1/transfer",
+                       {"content_png_b64": png, "style_png_b64": png})
+        assert e.value.code == 504
+        assert "timed out" in json.loads(e.value.read())["error"]
+    finally:
+        httpd.shutdown()
+        engine.stop()
+
+
+def test_http_load_shedding_returns_429(engine, rng):
+    import urllib.error
+    httpd = serve(engine, host="127.0.0.1", port=0, block=False, max_queue=0)
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        png = _tiny_png_b64(rng)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_json(f"{base}/v1/transfer",
+                       {"content_png_b64": png, "style_png_b64": png})
+        assert e.value.code == 429
+        assert e.value.headers["Retry-After"] == "1"
+        # stats exposes the shedding signal
+        with _get(f"{base}/stats") as r:
+            assert "pending" in json.loads(r.read())
+    finally:
+        httpd.shutdown()
+        engine.stop()
