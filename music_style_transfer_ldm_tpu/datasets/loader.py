@@ -172,7 +172,7 @@ class PackedBatchLoader:
                  shuffle: bool = True, seed: int = 0,
                  drop_last: bool = False, prefetch: int = 2,
                  process_index: int = 0, process_count: int = 1,
-                 pair: Optional[bool] = None):
+                 pair: Optional[bool] = None, dtype: str = "float32"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.indices = (np.arange(len(dataset)) if indices is None
@@ -185,6 +185,10 @@ class PackedBatchLoader:
         self.process_count = process_count
         self.pair = (hasattr(dataset, "gather_pairs") if pair is None
                      else pair)
+        # 'uint8' ships raw bytes and lets the trainers normalize on
+        # device: 4x less host->device transfer (a first-order win when
+        # the chip sits behind a network relay).
+        self.dtype = dtype
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -195,11 +199,12 @@ class PackedBatchLoader:
 
     def _fetch(self, bidx):
         if self.pair:
-            content, style = self.dataset.gather_pairs(bidx)
+            content, style = self.dataset.gather_pairs(bidx,
+                                                       dtype=self.dtype)
             rows = [self.dataset.pairs[int(i)] for i in bidx]
             return ((content, [r[0] for r in rows]),
                     (style, [r[2] for r in rows]))
-        return self.dataset.gather(bidx)
+        return self.dataset.gather(bidx, dtype=self.dtype)
 
     def __iter__(self) -> Iterator:
         order = self.indices

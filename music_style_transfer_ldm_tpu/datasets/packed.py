@@ -180,12 +180,17 @@ class PackedSpectrogramDataset:
         return x[0], int(y[0])
 
     def gather(self, indices, process_index: int = 0,
-               process_count: int = 1) -> tuple[np.ndarray, np.ndarray]:
-        """indices -> ([n, crop, crop, 1] float32 in [0,1], [n] int32).
+               process_count: int = 1,
+               dtype: str = "float32") -> tuple[np.ndarray, np.ndarray]:
+        """indices -> ([n, crop, crop, 1] images, [n] int32 labels).
 
-        With process_count > 1, ``indices`` is the GLOBAL batch and only
-        this process's contiguous slice is mmap-gathered (multi-host input
-        sharding; see datasets/loader.py:process_local_indices)."""
+        dtype 'float32' returns unit-range floats; 'uint8' returns the raw
+        stored bytes — 4x less host->device transfer (the trainers
+        normalize on device), which matters when the chip is behind a
+        network relay.  With process_count > 1, ``indices`` is the GLOBAL
+        batch and only this process's contiguous slice is mmap-gathered
+        (multi-host input sharding; see
+        datasets/loader.py:process_local_indices)."""
         if process_count > 1:
             from music_style_transfer_ldm_tpu.datasets.loader import (
                 process_local_indices,
@@ -200,11 +205,18 @@ class PackedSpectrogramDataset:
                 f"crop {c} larger than stored image "
                 f"{self.height}x{self.width}")
         if self._handle:
-            out = np.empty((n, c, c), np.float32)
             labels = np.empty((n,), np.int32)
-            rc = self._lib.spk_gather_f32(
-                self._handle, idx.ctypes.data_as(ctypes.c_void_p), n, c, c,
-                out.ctypes.data_as(ctypes.c_void_p))
+            if dtype == "uint8":
+                full = np.empty((n, self.height, self.width), np.uint8)
+                rc = self._lib.spk_gather_u8(
+                    self._handle, idx.ctypes.data_as(ctypes.c_void_p), n,
+                    full.ctypes.data_as(ctypes.c_void_p))
+                out = np.ascontiguousarray(full[:, :c, :c])
+            else:
+                out = np.empty((n, c, c), np.float32)
+                rc = self._lib.spk_gather_f32(
+                    self._handle, idx.ctypes.data_as(ctypes.c_void_p), n, c,
+                    c, out.ctypes.data_as(ctypes.c_void_p))
             if rc == -2:
                 raise IndexError(
                     f"index out of range for pack of {self.n} items")
@@ -221,8 +233,10 @@ class PackedSpectrogramDataset:
             raise IndexError(
                 f"index out of range for pack of {self.n} items")
         imgs = self._images[idx][:, :c, :c]
-        return (imgs.astype(np.float32) / 255.0)[..., None], \
-            self._labels[idx].astype(np.int32)
+        labels = self._labels[idx].astype(np.int32)
+        if dtype == "uint8":
+            return np.ascontiguousarray(imgs)[..., None], labels
+        return (imgs.astype(np.float32) / 255.0)[..., None], labels
 
     def close(self) -> None:
         if self._handle:
@@ -304,17 +318,19 @@ class PackedPairDataset:
              self._class_indices[label2][i2]], np.int64))
         return (x[0], label1), (x[1], label2)
 
-    def gather_pairs(self, indices) -> tuple[np.ndarray, np.ndarray]:
+    def gather_pairs(self, indices,
+                     dtype: str = "float32") -> tuple[np.ndarray, np.ndarray]:
         """Vectorized batch path: -> (content [n,c,c,1], style [n,c,c,1]).
 
         One native gather for the whole batch (2n images) instead of 2n
-        PNG decodes.
+        PNG decodes.  dtype 'uint8' ships raw bytes (see
+        PackedSpectrogramDataset.gather).
         """
         rows = [self.pairs[int(i)] for i in np.asarray(indices)]
         flat = np.asarray(
             [self._class_indices[l1][i1] for l1, i1, _, _ in rows]
             + [self._class_indices[l2][i2] for _, _, l2, i2 in rows],
             np.int64)
-        x, _ = self.pack.gather(flat)
+        x, _ = self.pack.gather(flat, dtype=dtype)
         n = len(rows)
         return x[:n], x[n:]

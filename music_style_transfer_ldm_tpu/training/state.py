@@ -22,3 +22,28 @@ def count_params(tree) -> int:
     import numpy as np
     return int(sum(np.prod(x.shape)
                    for x in jax.tree_util.tree_leaves(tree)))
+
+
+def as_unit_images(x: jax.Array) -> jax.Array:
+    """Normalize on device: uint8 batches (shipped raw to quarter the
+    host->device transfer, datasets/loader.py dtype='uint8') become unit
+    floats; float batches pass through unchanged.  Static on dtype, so
+    each input dtype is its own compiled graph."""
+    import jax.numpy as jnp
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        return x.astype(jnp.float32) / 255.0
+    return x
+
+
+def prefetch_to_device(batches, place_fn, depth: int = 2):
+    """Keep `depth` placed batches in flight: jax transfers are async, so
+    placing batch i+1 while step i computes overlaps the host->device copy
+    (expensive when the chip sits behind a network relay) with compute."""
+    from collections import deque
+    buf = deque()
+    for item in batches:
+        buf.append(place_fn(item))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

@@ -30,7 +30,9 @@ from music_style_transfer_ldm_tpu.training.metrics import MetricLogger
 from music_style_transfer_ldm_tpu.training.optim import (
     make_optimizer, plateau_init, plateau_update, set_learning_rate,
 )
-from music_style_transfer_ldm_tpu.training.state import TrainState
+from music_style_transfer_ldm_tpu.training.state import (
+    TrainState, as_unit_images, prefetch_to_device,
+)
 
 
 class AETrainer:
@@ -104,6 +106,7 @@ class AETrainer:
 
     def _loss(self, params, batch_stats, x, feature_params, train: bool,
               weights=None):
+        x = as_unit_images(x)
         z, recon, new_stats = self._forward(params, batch_stats, x, train,
                                             weights)
         # Decoder outputs [-1, 1]; inputs are [0, 1] — compare in [0, 1]
@@ -165,19 +168,22 @@ class AETrainer:
             with StallWatchdog(timeout_s=600, context=f"AE epoch {epoch}"):
                 # Losses stay on device until epoch end (per-step float()
                 # would stall the dispatch pipeline with a sync readback).
-                train_losses = []
                 n_data = self.mesh.shape["data"]
-                for batch in train_loader:
+
+                def place(batch):
                     x = batch[0] if isinstance(batch, tuple) else batch
                     w = batch_validity_weights(len(x), n_data, self.mesh)
-                    x = shard_batch(jnp.asarray(x), self.mesh)
+                    # Async device_put: placing batch i+1 while step i
+                    # computes overlaps the host->device copy with compute
+                    # (prefetch_to_device below).
+                    return shard_batch(jnp.asarray(x), self.mesh), w
+
+                train_losses = []
+                for x, w in prefetch_to_device(train_loader, place):
                     state, loss = self._train_step(state, x, vgg, w)
                     train_losses.append(loss)
                 val_losses = []
-                for batch in val_loader:
-                    x = batch[0] if isinstance(batch, tuple) else batch
-                    w = batch_validity_weights(len(x), n_data, self.mesh)
-                    x = shard_batch(jnp.asarray(x), self.mesh)
+                for x, w in prefetch_to_device(val_loader, place):
                     val_losses.append(self._val_step(state, x, vgg, w))
 
                 train_loss = float(

@@ -36,7 +36,9 @@ from music_style_transfer_ldm_tpu.training.metrics import MetricLogger
 from music_style_transfer_ldm_tpu.training.optim import (
     make_optimizer, plateau_init, plateau_update, set_learning_rate,
 )
-from music_style_transfer_ldm_tpu.training.state import TrainState
+from music_style_transfer_ldm_tpu.training.state import (
+    TrainState, as_unit_images, prefetch_to_device,
+)
 
 
 def _freeze_encoder_mask(params):
@@ -130,6 +132,8 @@ class LDMTrainer:
 
     def _losses(self, params, batch_stats, content, style, t, drng,
                 feature_params, weights=None):
+        content = as_unit_images(content)
+        style = as_unit_images(style)
         out, updates = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             content, style, t, train=True, frozen_encoder=True,
@@ -200,14 +204,21 @@ class LDMTrainer:
         # (measured 74 ms/step sync vs fully-pipelined dispatch without).
         collected = []
         n_data = self.mesh.shape["data"]
-        for i, ((content, _), (style, _)) in enumerate(loader):
-            n = len(content)
+
+        def place(batch):
+            (content, _), (style, _) = batch
             # Validity weights mask out rows the data-parallel padder adds
             # to a partial tail batch — both in the losses (weighted-mean
             # renormalization) and in BatchNorm statistics.
-            weights = batch_validity_weights(n, n_data, self.mesh)
-            content = shard_batch(jnp.asarray(content), self.mesh)
-            style = shard_batch(jnp.asarray(style), self.mesh)
+            weights = batch_validity_weights(len(content), n_data, self.mesh)
+            return (shard_batch(jnp.asarray(content), self.mesh),
+                    shard_batch(jnp.asarray(style), self.mesh), weights)
+
+        # prefetch_to_device: the next batch's (async) host->device copy
+        # overlaps the current step's compute — first-order win when the
+        # chip is reached through a network relay.
+        for i, (content, style, weights) in enumerate(
+                prefetch_to_device(loader, place)):
             key = jax.random.fold_in(base_key, epoch * 100000 + i)
             state, metrics = self._train_step(state, content, style, key,
                                               self._feature_params(), weights)

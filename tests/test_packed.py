@@ -163,3 +163,38 @@ def test_packed_batch_loader_pairs(pack_file, tmp_path):
     (c0, _), (s0, _) = ds[0]
     np.testing.assert_allclose(content[0], c0, atol=1e-7)
     np.testing.assert_allclose(style[0], s0, atol=1e-7)
+
+
+def test_gather_uint8_mode(pack_file):
+    path, images, labels = pack_file
+    ds = PackedSpectrogramDataset(path, use_native=False)
+    x8, y = ds.gather(np.asarray([2, 5]), dtype="uint8")
+    assert x8.dtype == np.uint8 and x8.shape == (2, 128, 128, 1)
+    np.testing.assert_array_equal(x8[0, :, :, 0], images[2, :128, :128])
+    xf, _ = ds.gather(np.asarray([2, 5]))
+    np.testing.assert_allclose(x8.astype(np.float32) / 255.0, xf, atol=1e-7)
+    if build_native() is not None:
+        nat = PackedSpectrogramDataset(path, use_native=True)
+        xn, yn = nat.gather(np.asarray([2, 5]), dtype="uint8")
+        np.testing.assert_array_equal(xn, x8)
+        nat.close()
+
+
+def test_uint8_batches_train_identically(rng):
+    """A u8 batch through the jitted step gives the same loss as the same
+    batch shipped as unit floats (device-side normalization)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from music_style_transfer_ldm_tpu.config import default_config
+    from music_style_transfer_ldm_tpu.training import AETrainer
+    cfg = default_config()
+    cfg.train = dataclasses.replace(cfg.train, compute_dtype="float32")
+    cfg.model = dataclasses.replace(cfg.model, image_size=64)
+    u8 = rng.randint(0, 256, (4, 64, 64, 1)).astype(np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    tr = AETrainer(cfg, perceptual=False)
+    s_a = tr.init_state(0)
+    s_b = tr.init_state(0)
+    _, loss_u8 = tr._train_step(s_a, jnp.asarray(u8), None)
+    _, loss_f32 = tr._train_step(s_b, jnp.asarray(f32), None)
+    np.testing.assert_allclose(float(loss_u8), float(loss_f32), rtol=1e-6)

@@ -224,8 +224,9 @@ def main() -> int:
         tr, te = train_test_split(len(ds), cfg.train.train_split,
                                   seed=cfg.train.seed)
         tl = PackedBatchLoader(ds, args.batch, indices=tr, shuffle=True,
-                               seed=cfg.train.seed)
-        vl = PackedBatchLoader(ds, args.batch, indices=te, shuffle=False)
+                               seed=cfg.train.seed, dtype="uint8")
+        vl = PackedBatchLoader(ds, args.batch, indices=te, shuffle=False,
+                               dtype="uint8")
         ae = AETrainer(cfg)
         t0 = time.time()
         ae.train(tl, vl, num_epochs=args.ae_epochs, out_dir=ae_dir)
@@ -240,7 +241,8 @@ def main() -> int:
     tr, _ = train_test_split(len(pair_ds), cfg.train.train_split,
                              seed=cfg.train.seed)
     train_loader = PackedBatchLoader(pair_ds, args.batch, indices=tr,
-                                     shuffle=True, seed=cfg.train.seed)
+                                     shuffle=True, seed=cfg.train.seed,
+                                     dtype="uint8")
     trainer = LDMTrainer(cfg)
     pre = ckpt_lib.load_autoencoder(ae_dir / "pretrained")
     t0 = time.time()
