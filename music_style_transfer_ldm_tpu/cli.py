@@ -244,14 +244,25 @@ def cmd_serve(args) -> int:
         EngineConfig, InferenceEngine, serve,
     )
     cfg = default_config()
-    model, variables = _restore_ldm(cfg, args.checkpoint)
-    engine = InferenceEngine(
-        model, variables,
-        EngineConfig(steps=args.steps,
-                     batch_buckets=tuple(args.buckets),
-                     max_wait_ms=args.max_wait_ms))
-    print(f"warming {len(args.buckets)} batch buckets...", flush=True)
-    engine.warmup()
+    ecfg = EngineConfig(steps=args.steps,
+                        batch_buckets=tuple(args.buckets),
+                        max_wait_ms=args.max_wait_ms,
+                        autoscale=args.autoscale)
+    # --checkpoint accepts a bare path (single model) or repeated
+    # name=path entries (multi-model routing at /v1/models/<name>/transfer;
+    # the first is the default model).
+    engines = {}
+    for spec in args.checkpoint:
+        name, _, path = spec.rpartition("=")
+        name = name or ("default" if not engines else
+                        f"model{len(engines)}")
+        model, variables = _restore_ldm(cfg, path)
+        engines[name] = InferenceEngine(model, variables, ecfg)
+    print(f"warming {len(args.buckets)} batch buckets x "
+          f"{len(engines)} model(s)...", flush=True)
+    for eng in engines.values():
+        eng.warmup()
+    engine = engines if len(engines) > 1 else next(iter(engines.values()))
     print(f"serving on http://{args.host}:{args.port}"
           + (" (bearer auth)" if args.auth_token else ""), flush=True)
     serve(engine, host=args.host, port=args.port, block=True,
@@ -367,7 +378,9 @@ def build_parser() -> argparse.ArgumentParser:
     it.set_defaults(fn=cmd_import_torch)
 
     sv = sub.add_parser("serve", help="HTTP inference server (microbatched)")
-    sv.add_argument("--checkpoint", required=True)
+    sv.add_argument("--checkpoint", required=True, action="append",
+                    help="checkpoint path, or name=path (repeat for "
+                         "multi-model routing; first entry is the default)")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8787)
     sv.add_argument("--steps", type=int, default=50)
@@ -379,6 +392,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="per-request engine wait bound (504 past it)")
     sv.add_argument("--max-queue", type=int, default=256,
                     help="shed load with 429 when this many requests queue")
+    sv.add_argument("--autoscale", action="store_true",
+                    help="compile larger batch buckets when demand "
+                         "saturates the current largest")
     sv.set_defaults(fn=cmd_serve)
 
     be = sub.add_parser("bench", help="run the headline benchmark")

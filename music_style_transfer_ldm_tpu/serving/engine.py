@@ -38,6 +38,13 @@ class EngineConfig:
     griffin_lim_iters: int = 32
     nnls_iters: int = 64
     invert_audio: bool = True
+    # Bucket autoscaling: when `autoscale_after` consecutive dispatches
+    # saturate the largest warm bucket while requests still queue, a 2x
+    # bucket is compiled on a side thread (traffic keeps flowing on the
+    # existing buckets) and adopted once warm, up to max_bucket.
+    autoscale: bool = False
+    autoscale_after: int = 4
+    max_bucket: int = 64
 
 
 class InferenceEngine:
@@ -51,8 +58,12 @@ class InferenceEngine:
         self.config = config or EngineConfig()
         self.ap = audio_processor or AudioProcessor()
         self._queue: queue.Queue = queue.Queue()
-        self._stats = {"requests": 0, "batches": 0, "padded_slots": 0}
+        self._stats = {"requests": 0, "batches": 0, "padded_slots": 0,
+                       "autoscaled_buckets": 0}
         self._stop = threading.Event()
+        self._scale_lock = threading.Lock()
+        self._warming: set = set()
+        self._saturated = 0
         # One jitted program; jax specializes per batch shape, so the bucket
         # ladder only decides what to pad to (and what warmup pre-compiles).
         self._transfer_fn = self._build_transfer()
@@ -180,10 +191,44 @@ class InferenceEngine:
         self._stats["requests"] += 1
         return done
 
+    def _maybe_autoscale(self, batch_len: int, max_b: int) -> None:
+        """Warm a 2x bucket on a side thread when demand keeps saturating
+        the largest warm bucket (traffic continues on existing buckets)."""
+        if not self.config.autoscale:
+            return
+        if batch_len >= max_b and self.pending() > 0:
+            self._saturated += 1
+        else:
+            self._saturated = 0
+        new_b = max_b * 2
+        if (self._saturated < self.config.autoscale_after
+                or new_b > self.config.max_bucket):
+            return
+        with self._scale_lock:
+            if new_b in self._warming or new_b in self._warm_buckets:
+                return
+            self._warming.add(new_b)
+        self._saturated = 0
+
+        def work():
+            S = self.config.image_size
+            x = jnp.zeros((new_b, S, S, 1), jnp.float32)
+            keys = jax.vmap(jax.random.PRNGKey)(
+                jnp.zeros((new_b,), jnp.int32))
+            out = self._transfer_fn(x, x, keys)
+            jax.tree_util.tree_map(
+                lambda a: np.asarray(jax.device_get(a.ravel()[0])), out)
+            with self._scale_lock:
+                self._warm_buckets.add(new_b)  # adopted atomically
+                self._warming.discard(new_b)
+                self._stats["autoscaled_buckets"] += 1
+
+        threading.Thread(target=work, daemon=True).start()
+
     def _dispatch_loop(self) -> None:
-        max_b = max(self.config.batch_buckets)
         wait_s = self.config.max_wait_ms / 1000.0
         while not self._stop.is_set():
+            max_b = max(self._warm_buckets)  # grows under autoscaling
             try:
                 first = self._queue.get(timeout=0.05)
             except queue.Empty:
@@ -198,6 +243,7 @@ class InferenceEngine:
                     batch.append(self._queue.get(timeout=remaining))
                 except queue.Empty:
                     break
+            self._maybe_autoscale(len(batch), max_b)
             try:
                 content = np.stack([r[0] for r in batch])
                 style = np.stack([r[1] for r in batch])

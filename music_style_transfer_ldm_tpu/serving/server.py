@@ -2,12 +2,17 @@
 
 Endpoints (JSON in/out; binary payloads base64):
 
-  GET  /healthz            -> {"status": "ok"}
-  GET  /stats              -> engine counters
+  GET  /healthz            -> {"status": "ok"}  (always unauthenticated)
+  GET  /stats              -> engine counters (per model when multi-model)
+  GET  /v1/models          -> {"models": [...], "default": ...}
   POST /v1/transfer        -> {"content_wav_b64" | "content_png_b64",
                                "style_png_b64" | "style_wav_b64",
                                "seed": 0}
                             <- {"image_png_b64", "audio_wav_b64"}
+  POST /v1/models/<name>/transfer -> same, routed to that model
+
+Hardening: optional bearer-token auth (401), request size limit (413),
+per-request timeout (504), queue-depth load shedding (429 + Retry-After).
 
 Uses ThreadingHTTPServer: handler threads block on the engine's
 microbatching queue, so concurrent requests share device batches.
@@ -72,14 +77,21 @@ def make_handler(engine, max_request_bytes: int = MAX_REQUEST_BYTES,
                  auth_token: str | None = None,
                  request_timeout_s: float = DEFAULT_TIMEOUT_S,
                  max_queue: int = DEFAULT_MAX_QUEUE):
-    """auth_token: when set, every endpoint except /healthz (load-balancer
+    """``engine`` may be a single InferenceEngine or a {name: engine} dict
+    (multi-model routing: POST /v1/models/<name>/transfer targets a model;
+    GET /v1/models lists them; the first entry is the default served at
+    /v1/transfer).
+    auth_token: when set, every endpoint except /healthz (load-balancer
     probes) requires 'Authorization: Bearer <token>' (401 otherwise).
     request_timeout_s: per-request bound on waiting for the engine (504).
     max_queue: load shedding — submissions are rejected with 429 while the
-    engine's pending queue exceeds this bound."""
+    target engine's pending queue exceeds this bound."""
     import hmac
 
-    ap = engine.ap
+    engines = engine if isinstance(engine, dict) else {"default": engine}
+    if not engines:
+        raise ValueError("need at least one engine")
+    default_name = next(iter(engines))
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, payload: dict) -> None:
@@ -106,17 +118,41 @@ def make_handler(engine, max_request_bytes: int = MAX_REQUEST_BYTES,
             elif not self._authorized():
                 self._json(401, {"error": "unauthorized"})
             elif self.path == "/stats":
-                self._json(200, engine.stats())
+                if len(engines) == 1:
+                    self._json(200, engines[default_name].stats())
+                else:
+                    self._json(200, {"models": {n: e.stats()
+                                                for n, e in engines.items()}})
+            elif self.path == "/v1/models":
+                self._json(200, {"models": list(engines),
+                                 "default": default_name})
             else:
                 self._json(404, {"error": "not found"})
 
+        def _route(self) -> str | None:
+            """/v1/transfer -> default model; /v1/models/<name>/transfer ->
+            that model; None when the path doesn't match."""
+            if self.path == "/v1/transfer":
+                return default_name
+            parts = self.path.strip("/").split("/")
+            if (len(parts) == 4 and parts[:2] == ["v1", "models"]
+                    and parts[3] == "transfer"):
+                return parts[2]
+            return None
+
         def do_POST(self):
-            if self.path != "/v1/transfer":
+            name = self._route()
+            if name is None:
                 self._json(404, {"error": "not found"})
                 return
             if not self._authorized():
                 self._json(401, {"error": "unauthorized"})
                 return
+            engine = engines.get(name)
+            if engine is None:
+                self._json(404, {"error": f"unknown model {name!r}"})
+                return
+            ap = engine.ap
             if engine.pending() >= max_queue:
                 self.send_response(429)
                 self.send_header("Retry-After", "1")
@@ -141,8 +177,8 @@ def make_handler(engine, max_request_bytes: int = MAX_REQUEST_BYTES,
                                               f"exceeds {max_request_bytes}"})
                     return
                 req = json.loads(self.rfile.read(length) or b"{}")
-                content = self._decode_input(req, "content")
-                style = self._decode_input(req, "style")
+                content = self._decode_input(engine, req, "content")
+                style = self._decode_input(engine, req, "style")
                 done = engine.submit(content, style,
                                      seed=int(req.get("seed", 0)))
                 import queue as _q
@@ -164,14 +200,14 @@ def make_handler(engine, max_request_bytes: int = MAX_REQUEST_BYTES,
             except Exception as e:  # noqa: BLE001 — serving boundary
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
-        def _decode_input(self, req: dict, kind: str) -> np.ndarray:
+        def _decode_input(self, engine, req: dict, kind: str) -> np.ndarray:
             size = engine.config.image_size
             if f"{kind}_png_b64" in req:
                 return _png_to_image(
                     base64.b64decode(req[f"{kind}_png_b64"]), size)
             if f"{kind}_wav_b64" in req:
                 return _wav_to_image(
-                    base64.b64decode(req[f"{kind}_wav_b64"]), ap, size)
+                    base64.b64decode(req[f"{kind}_wav_b64"]), engine.ap, size)
             raise KeyError(f"{kind}_png_b64 or {kind}_wav_b64")
 
     return Handler
@@ -188,8 +224,10 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8787,
           request_timeout_s: float = DEFAULT_TIMEOUT_S,
           max_queue: int = DEFAULT_MAX_QUEUE
           ) -> Optional[ThreadingHTTPServer]:
-    """Start the HTTP server over a warmed engine."""
-    engine.start()
+    """Start the HTTP server over a warmed engine (or {name: engine})."""
+    engines = engine if isinstance(engine, dict) else {"default": engine}
+    for e in engines.values():
+        e.start()
     httpd = _Server((host, port), make_handler(
         engine, auth_token=auth_token, request_timeout_s=request_timeout_s,
         max_queue=max_queue))
@@ -197,7 +235,8 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8787,
         try:
             httpd.serve_forever()
         finally:
-            engine.stop()
+            for e in engines.values():
+                e.stop()
         return None
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()

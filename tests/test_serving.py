@@ -268,3 +268,54 @@ def test_http_load_shedding_returns_429(engine, rng):
     finally:
         httpd.shutdown()
         engine.stop()
+
+
+def test_multi_model_routing(engine, rng):
+    import urllib.error
+    httpd = serve({"alpha": engine, "beta": engine}, host="127.0.0.1",
+                  port=0, block=False)
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        with _get(f"{base}/v1/models") as r:
+            listing = json.loads(r.read())
+        assert listing == {"models": ["alpha", "beta"], "default": "alpha"}
+        png = _tiny_png_b64(rng)
+        body = {"content_png_b64": png, "style_png_b64": png}
+        # default route, named route, unknown model
+        with _post_json(f"{base}/v1/transfer", body, timeout=120) as r:
+            assert r.status == 200
+        with _post_json(f"{base}/v1/models/beta/transfer", body,
+                        timeout=120) as r:
+            assert "image_png_b64" in json.loads(r.read())
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_json(f"{base}/v1/models/nope/transfer", body)
+        assert e.value.code == 404
+        # per-model stats shape
+        with _get(f"{base}/stats") as r:
+            assert set(json.loads(r.read())["models"]) == {"alpha", "beta"}
+    finally:
+        httpd.shutdown()
+        engine.stop()
+
+
+def test_bucket_autoscaling(engine):
+    import dataclasses
+    import time as _time
+    cfg = dataclasses.replace(engine.config, autoscale=True,
+                              autoscale_after=2, max_bucket=8,
+                              batch_buckets=(1, 2, 4))
+    eng = type(engine)(engine.model, engine.variables, cfg)
+    eng._warm_buckets = set(engine.config.batch_buckets)  # reuse jit cache
+    # Saturated dispatches with a non-empty queue trigger a 2x warm-up.
+    eng._queue.put(("x",) * 4)
+    assert max(eng._warm_buckets) == 4
+    for _ in range(cfg.autoscale_after):
+        eng._maybe_autoscale(4, 4)
+    deadline = _time.time() + 120
+    while 8 not in eng._warm_buckets and _time.time() < deadline:
+        _time.sleep(0.2)
+    assert 8 in eng._warm_buckets, "bucket 8 was not adopted"
+    assert eng.stats()["autoscaled_buckets"] == 1
+    # Below-threshold saturation must not scale further.
+    eng._maybe_autoscale(8, 8)
+    assert 16 not in eng._warm_buckets and 16 not in eng._warming
