@@ -34,9 +34,15 @@ def generation_time_grid(num_timesteps: int, steps: int) -> np.ndarray:
     return np.linspace(num_timesteps - 1, 0, steps).astype(np.int32)
 
 
-def transfer_time_grid(num_timesteps: int) -> np.ndarray:
-    """Unit-step grid over the first N timesteps (ref: model.py:514)."""
-    return np.linspace(num_timesteps - 1, 0, num_timesteps).astype(np.int32)
+def transfer_time_grid(num_timesteps: int,
+                       steps: int | None = None) -> np.ndarray:
+    """Unit-step grid over the first N timesteps (ref: model.py:514).
+
+    steps < N subsamples the grid (linspace) — the reference always walks
+    every step; a coarse grid pairs with higher-order samplers
+    (diffusion/dpm.py) for fewer denoiser evaluations."""
+    return np.linspace(num_timesteps - 1, 0,
+                       steps or num_timesteps).astype(np.int32)
 
 
 def ddim_sample(denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],

@@ -136,19 +136,38 @@ def _denoise_fn(model: LDM, variables, style_embedding):
     return fn
 
 
+def _run_sampler(sampler: str, denoise_fn, sched, z_t, times, eta,
+                 return_logs):
+    """'ddim' (reference parity, eta-capable) or 'dpm++'
+    (DPM-Solver++(2M), deterministic, ~2x fewer steps at equal ODE
+    accuracy, diffusion/dpm.py)."""
+    if sampler == "ddim":
+        return ddim_sample(denoise_fn, sched, z_t, times, eta=eta,
+                           return_logs=return_logs)
+    if sampler == "dpm++":
+        if eta:
+            raise ValueError("dpm++ is deterministic; eta must be 0")
+        from music_style_transfer_ldm_tpu.diffusion.dpm import (
+            dpm_solver_pp_2m,
+        )
+        return dpm_solver_pp_2m(denoise_fn, sched, z_t, times,
+                                return_logs=return_logs)
+    raise ValueError(f"unknown sampler {sampler!r}")
+
+
 @functools.partial(jax.jit,
                    static_argnames=("model", "timesteps", "eta",
-                                    "return_logs", "z_shape"))
+                                    "return_logs", "z_shape", "sampler"))
 def _style_sample_impl(model: LDM, variables, key, z_shape, style_spec,
-                       timesteps, eta, return_logs):
+                       timesteps, eta, return_logs, sampler="ddim"):
     sched = model.schedule
     z_t = jax.random.normal(key, z_shape, jnp.float32)
     style_embedding = model.apply(variables, style_spec,
                                   method=LDM.style_embed)
     times = generation_time_grid(model.num_timesteps, timesteps)
-    sampled, logs = ddim_sample(
-        _denoise_fn(model, variables, style_embedding), sched, z_t, times,
-        eta=eta, return_logs=return_logs)
+    sampled, logs = _run_sampler(
+        sampler, _denoise_fn(model, variables, style_embedding), sched,
+        z_t, times, eta, return_logs)
     decoded = model.apply(variables, sampled, method=LDM.decode)
     decoded = (decoded.astype(jnp.float32) + 1.0) / 2.0
     return decoded, logs
@@ -157,23 +176,26 @@ def _style_sample_impl(model: LDM, variables, key, z_shape, style_spec,
 def style_ddim_sample(model: LDM, variables, key: jax.Array,
                       z_shape: Tuple[int, ...], style_spec: jax.Array,
                       timesteps: int = 100, eta: float = 0.0,
-                      return_logs: bool = False
+                      return_logs: bool = False,
+                      sampler: str = "ddim"
                       ) -> Tuple[jax.Array, Optional[dict]]:
     """Style-conditioned generation from pure noise
     (ref: model.py:382-407 style_ddim_sample_wrapper).
 
     Returns decoded spectrogram images in [0, 1] (NHWC).
+    sampler='dpm++' runs DPM-Solver++(2M) on the same grid.
     """
     return _style_sample_impl(model, variables, key, tuple(z_shape),
                               style_spec.astype(jnp.float32), timesteps,
-                              float(eta), return_logs)
+                              float(eta), return_logs, sampler)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("model", "num_timesteps", "eta",
-                                    "return_logs"))
+                                    "return_logs", "sampler", "steps"))
 def _transfer_impl(model: LDM, variables, key, content_spec, style_spec,
-                   num_timesteps, eta, return_logs):
+                   num_timesteps, eta, return_logs, sampler="ddim",
+                   steps=None):
     sched = model.schedule
     z_0 = model.apply(variables, content_spec.astype(jnp.float32),
                       method=LDM.encode).astype(jnp.float32)
@@ -190,10 +212,10 @@ def _transfer_impl(model: LDM, variables, key, content_spec, style_spec,
 
     style_embedding = model.apply(variables, style_spec.astype(jnp.float32),
                                   method=LDM.style_embed)
-    times = transfer_time_grid(num_timesteps)
-    sampled, logs = ddim_sample(
-        _denoise_fn(model, variables, style_embedding), sched, z_t, times,
-        eta=eta, return_logs=return_logs)
+    times = transfer_time_grid(num_timesteps, steps)
+    sampled, logs = _run_sampler(
+        sampler, _denoise_fn(model, variables, style_embedding), sched,
+        z_t, times, eta, return_logs)
 
     decoded = model.apply(variables, sampled, method=LDM.decode)
     decoded = (decoded.astype(jnp.float32) + 1.0) / 2.0
@@ -204,7 +226,9 @@ def _transfer_impl(model: LDM, variables, key, content_spec, style_spec,
 def content_style_transfer(model: LDM, variables, key: jax.Array,
                            content_spec: jax.Array, style_spec: jax.Array,
                            num_timesteps: int = 100, eta: float = 0.0,
-                           return_logs: bool = False
+                           return_logs: bool = False,
+                           sampler: str = "ddim",
+                           steps: Optional[int] = None
                            ) -> Tuple[jax.Array, jax.Array, Optional[dict]]:
     """SDEdit-style content+style transfer — the product path
     (ref: model.py:468-501 content_style_transfer_wrapper).
@@ -217,6 +241,10 @@ def content_style_transfer(model: LDM, variables, key: jax.Array,
     (its own default of 250 crashes against T=200, model.py:468); here it
     is a clear error instead of silent clamping.
     Returns (decoded, z_t_decoded, logs); decoded images are in [0, 1].
+
+    sampler='dpm++' (DPM-Solver++(2M)) with steps < num_timesteps walks a
+    coarse grid: ~half the denoiser evaluations for the same ODE accuracy
+    as the unit-step DDIM walk (diffusion/dpm.py).
     """
     if num_timesteps > model.num_timesteps:
         raise ValueError(
@@ -225,7 +253,8 @@ def content_style_transfer(model: LDM, variables, key: jax.Array,
     return _transfer_impl(model, variables, key,
                           content_spec.astype(jnp.float32),
                           style_spec.astype(jnp.float32), num_timesteps,
-                          float(eta), return_logs)
+                          float(eta), return_logs, sampler,
+                          None if steps is None else int(steps))
 
 
 def load_ldm(config, full_checkpoint: Optional[str] = None,

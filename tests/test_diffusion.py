@@ -107,3 +107,87 @@ def test_ddim_logs_stacked():
     assert logs["pred_x0"].shape == (7, 2, 4, 4, 2)
     assert logs["noise_pred"].shape == (7, 2, 4, 4, 2)
     assert logs["timesteps"].shape == (7,)
+
+
+# ---------------------------------------------------------------------------
+# DPM-Solver++(2M) — the beyond-reference fast sampler (diffusion/dpm.py).
+# ---------------------------------------------------------------------------
+
+
+def _smooth_denoiser():
+    """A smooth, t-dependent stand-in eps-model: any such vector field
+    defines a probability-flow ODE whose fine-grid solution is the ground
+    truth for convergence checks."""
+    def fn(x, t):
+        tt = (t.astype(jnp.float32) / 200.0).reshape((-1,) + (1,) *
+                                                     (x.ndim - 1))
+        return jnp.tanh(x) * (0.5 + tt) + 0.1 * jnp.sin(3.0 * x)
+    return fn
+
+
+def test_dpm_single_step_equals_ddim():
+    """With no history the 2M solver's exponential update is algebraically
+    identical to the eta=0 DDIM update — exact to float precision."""
+    from music_style_transfer_ldm_tpu.diffusion import DiffusionSchedule
+    from music_style_transfer_ldm_tpu.diffusion.ddim import ddim_sample
+    from music_style_transfer_ldm_tpu.diffusion.dpm import dpm_solver_pp_2m
+    sched = DiffusionSchedule.create(200, 1e-4, 0.02)
+    fn = _smooth_denoiser()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+    times = np.asarray([150, 60], np.int32)
+    a, _ = ddim_sample(fn, sched, x, times, eta=0.0)
+    b, _ = dpm_solver_pp_2m(fn, sched, x, times)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_dpm_second_order_beats_ddim_at_equal_steps():
+    """Convergence: against a 200-step fine-grid reference solution,
+    coarse-grid DPM++(2M) lands closer than coarse-grid DDIM at every
+    tested step count — the whole point of shipping the second sampler."""
+    from music_style_transfer_ldm_tpu.diffusion import DiffusionSchedule
+    from music_style_transfer_ldm_tpu.diffusion.ddim import (
+        ddim_sample, transfer_time_grid,
+    )
+    from music_style_transfer_ldm_tpu.diffusion.dpm import dpm_solver_pp_2m
+    sched = DiffusionSchedule.create(200, 1e-4, 0.02)
+    fn = _smooth_denoiser()
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    ref, _ = ddim_sample(fn, sched, x, transfer_time_grid(200), eta=0.0)
+    ref = np.asarray(ref)
+    for steps in (10, 25, 50):
+        grid = transfer_time_grid(200, steps)
+        d, _ = ddim_sample(fn, sched, x, grid, eta=0.0)
+        p, _ = dpm_solver_pp_2m(fn, sched, x, grid)
+        err_ddim = float(np.abs(np.asarray(d) - ref).mean())
+        err_dpm = float(np.abs(np.asarray(p) - ref).mean())
+        assert err_dpm < err_ddim, (steps, err_dpm, err_ddim)
+    # and the coarse DPM++ run is genuinely accurate in absolute terms:
+    # 25 steps within ~1e-2 of the 200-step solution.
+    grid = transfer_time_grid(200, 25)
+    p, _ = dpm_solver_pp_2m(fn, sched, x, grid)
+    assert float(np.abs(np.asarray(p) - ref).mean()) < 1.5e-2
+
+
+def test_dpm_transfer_wrapper_and_coarse_grid(rng):
+    """sampler='dpm++' + steps=25 through the product transfer path."""
+    from music_style_transfer_ldm_tpu.models.ldm import (
+        LDM, content_style_transfer,
+    )
+    import pytest
+    # default filter widths: the reference UNet couples nf*2 == temb dim
+    model = LDM(latent_dim=8, num_timesteps=50)
+    x = jnp.asarray(rng.rand(1, 64, 64, 1).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        x, x, jnp.zeros((1,), jnp.int32))
+    out, _, _ = content_style_transfer(model, variables,
+                                       jax.random.PRNGKey(2), x, x,
+                                       num_timesteps=50, sampler="dpm++",
+                                       steps=13)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # deterministic sampler rejects eta
+    with pytest.raises(ValueError):
+        content_style_transfer(model, variables, jax.random.PRNGKey(2),
+                               x, x, num_timesteps=50, sampler="dpm++",
+                               eta=0.5)
