@@ -319,3 +319,20 @@ def test_bucket_autoscaling(engine):
     # Below-threshold saturation must not scale further.
     eng._maybe_autoscale(8, 8)
     assert 16 not in eng._warm_buckets and 16 not in eng._warming
+
+
+def test_engine_dpm_sampler(rng):
+    """EngineConfig(sampler='dpm++', sample_steps=...) end to end."""
+    model = LDM(latent_dim=32, num_timesteps=20)
+    x = jnp.zeros((1, 128, 128, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        x, x, jnp.zeros((1,), jnp.int32))
+    cfg = EngineConfig(steps=16, sample_steps=5, sampler="dpm++",
+                       batch_buckets=(2,), griffin_lim_iters=2, nnls_iters=4,
+                       invert_audio=False)
+    eng = InferenceEngine(model, variables, cfg)
+    out = eng.transfer_batch(rng.rand(2, 128, 128, 1).astype(np.float32),
+                             rng.rand(2, 128, 128, 1).astype(np.float32))
+    assert out["image"].shape == (2, 128, 128, 1)
+    assert np.isfinite(out["image"]).all()
