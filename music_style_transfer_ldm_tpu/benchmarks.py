@@ -139,6 +139,19 @@ def main() -> None:
     log(f"50-step transfer: {total_s*1000:.1f} ms total, "
         f"{step_ms:.2f} ms/step")
 
+    # ---- secondary: DPM-Solver++(2M) on a half-coarse grid ---------------
+    def transfer_dpm(content, style):
+        decoded, _, _ = content_style_transfer(
+            model, variables, jax.random.PRNGKey(2), content, style,
+            num_timesteps=steps, eta=0.0, sampler="dpm++",
+            steps=steps // 2)
+        return decoded
+
+    dpm_s, _ = timed(jax.jit(transfer_dpm), content, style)
+    log(f"dpm++ {steps // 2}-step transfer (equal-accuracy coarse grid): "
+        f"{dpm_s*1000:.1f} ms total ({total_s / dpm_s:.2f}x vs 50-step "
+        f"ddim)")
+
     # ---- secondary: 10 s clip end-to-end (4 x 3 s chunks as one batch) ----
     sr = cfg.audio.sample_rate
     clip = np.random.RandomState(2).randn(4, 3 * sr).astype(np.float32) * 0.1
@@ -211,6 +224,7 @@ def main() -> None:
         "vs_baseline": round(baseline_ms / step_ms, 2),
         "chip": str(getattr(jax.devices()[0], "device_kind", "unknown")),
         "chip_peak_tflops": (round(peak / 1e12) if peak else None),
+        "transfer_dpm_halfgrid_ms": round(dpm_s * 1000, 2),
         "transfer_b64_ms": round(thr_s * 1000, 2),
         "transfer_b64_gflop": (round(transfer_flops / 1e9, 2)
                                if transfer_flops else None),
