@@ -12,12 +12,29 @@ from pathlib import Path
 from typing import Sequence
 
 
+def _maybe_float(v: str):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return v
+
+
 class MetricLogger:
-    def __init__(self, csv_path: str | Path):
+    def __init__(self, csv_path: str | Path, resume: bool = False):
+        """resume=True reloads an existing CSV (history plots stay complete
+        and new rows append) instead of truncating it — used by the
+        trainers' resume_from path."""
         self.csv_path = Path(csv_path)
         self.csv_path.parent.mkdir(parents=True, exist_ok=True)
         self.rows: list[dict] = []
         self._fieldnames: list[str] | None = None
+        if resume and self.csv_path.exists():
+            with open(self.csv_path, newline="") as f:
+                reader = csv.DictReader(f)
+                self._fieldnames = list(reader.fieldnames or []) or None
+                for row in reader:
+                    self.rows.append({k: _maybe_float(v)
+                                      for k, v in row.items()})
 
     def log(self, **metrics) -> None:
         self.rows.append(metrics)

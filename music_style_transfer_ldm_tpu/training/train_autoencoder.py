@@ -152,18 +152,22 @@ class AETrainer:
         a capability the reference lacks (save-only)."""
         num_epochs = num_epochs or self.config.train.num_epochs
         out_dir = Path(out_dir)
-        logger = MetricLogger(out_dir / "metrics.csv")
+        logger = MetricLogger(out_dir / "metrics.csv",
+                              resume=resume_from is not None)
         state = state if state is not None else self.init_state(
             self.config.train.seed)
+        start_epoch = 0
         if resume_from is not None:
             state = ckpt_lib.restore_train_state(resume_from, state)
+            # Resume the epoch count from the restored optimizer step.
+            start_epoch = int(state.step) // max(len(train_loader), 1)
         vgg = self.feature.params if self.feature is not None else None
         best_val = float("inf")
 
         from music_style_transfer_ldm_tpu.utils.profiling import (
             StallWatchdog,
         )
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
             with StallWatchdog(timeout_s=600, context=f"AE epoch {epoch}"):
                 # Losses stay on device until epoch end (per-step float()

@@ -244,17 +244,23 @@ class LDMTrainer:
         cfg = self.config.train
         num_epochs = num_epochs or cfg.num_epochs
         out_dir = Path(out_dir)
-        logger = MetricLogger(out_dir / "metrics.csv")
+        logger = MetricLogger(out_dir / "metrics.csv",
+                              resume=resume_from is not None)
         if state is None:
             state = self.init_state(cfg.seed, pretrained_autoencoder)
+        start_epoch = 0
         if resume_from is not None:
             state = ckpt_lib.restore_train_state(resume_from, state)
+            # Continue the epoch count from the restored optimizer step so
+            # epoch numbering, checkpoint cadence, and the total epoch
+            # budget line up across restarts (relay-stall recovery).
+            start_epoch = int(state.step) // max(len(train_loader), 1)
         base_key = jax.random.PRNGKey(cfg.seed + 123)
 
         from music_style_transfer_ldm_tpu.utils.profiling import (
             StallWatchdog,
         )
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
             with StallWatchdog(timeout_s=600,
                                context=f"LDM epoch {epoch} "

@@ -201,8 +201,19 @@ def test_full_train_drivers_and_resume(tmp_path, rng):
               pretrained_autoencoder=pre, out_dir=tmp_path / "ldm")
     assert (tmp_path / "ldm" / "ldm_final").exists()
 
-    # resume from the final state (exercises format_version round-trip)
+    # resume from the final state (exercises format_version round-trip);
+    # the epoch counter continues from the restored step (1 epoch x 2
+    # steps done -> resume starts at epoch 1 of 3, running 2 more).
     ldm2 = LDMTrainer(cfg, perceptual=False)
-    ldm2.train(BatchLoader(PairDS(), 4, shuffle=False), num_epochs=1,
-               pretrained_autoencoder=pre, out_dir=tmp_path / "ldm2",
-               resume_from=tmp_path / "ldm" / "ldm_final")
+    state2 = ldm2.train(BatchLoader(PairDS(), 4, shuffle=False),
+                        num_epochs=3, pretrained_autoencoder=pre,
+                        out_dir=tmp_path / "ldm2",
+                        resume_from=tmp_path / "ldm" / "ldm_final")
+    assert int(state2.step) == 6  # 2 steps/epoch x 3 epochs total
+    # resuming into an already-met epoch budget is a no-op
+    ldm3 = LDMTrainer(cfg, perceptual=False)
+    state3 = ldm3.train(BatchLoader(PairDS(), 4, shuffle=False),
+                        num_epochs=1, pretrained_autoencoder=pre,
+                        out_dir=tmp_path / "ldm3",
+                        resume_from=tmp_path / "ldm" / "ldm_final")
+    assert int(state3.step) == 2
