@@ -11,3 +11,6 @@ from music_style_transfer_ldm_tpu.datasets.loader import (  # noqa: F401
 from music_style_transfer_ldm_tpu.datasets.packed import (  # noqa: F401
     PackedPairDataset, PackedSpectrogramDataset, build_pack,
 )
+from music_style_transfer_ldm_tpu.datasets.device import (  # noqa: F401
+    DevicePairLoader, DeviceResidentPairs,
+)

@@ -198,3 +198,53 @@ def test_uint8_batches_train_identically(rng):
     _, loss_u8 = tr._train_step(s_a, jnp.asarray(u8), None)
     _, loss_f32 = tr._train_step(s_b, jnp.asarray(f32), None)
     np.testing.assert_allclose(float(loss_u8), float(loss_f32), rtol=1e-6)
+
+
+def test_device_resident_pairs_match_host_gather(pack_file, tmp_path):
+    """HBM-resident gather returns exactly the host path's batches."""
+    import jax.numpy as jnp
+    from music_style_transfer_ldm_tpu.datasets import (
+        DevicePairLoader, DeviceResidentPairs, PackedPairDataset,
+    )
+    path, images, labels = pack_file
+    csv = tmp_path / "pairs.csv"
+    csv.write_text("guitar,0,piano,1\npiano,2,violin,0\nviolin,3,guitar,1\n"
+                   "guitar,2,violin,4\npiano,0,guitar,5\n")
+    host = PackedPairDataset(path, csv, use_native=False)
+    dev = DeviceResidentPairs(path, csv)
+    idx = np.asarray([4, 0, 2])
+    hc, hs = host.gather_pairs(idx)
+    dc, ds_ = dev.gather_pairs(idx)
+    np.testing.assert_allclose(np.asarray(dc).astype(np.float32) / 255.0,
+                               hc, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ds_).astype(np.float32) / 255.0,
+                               hs, atol=1e-7)
+    # loader yields the pair structure with labels, u8 device arrays
+    loader = DevicePairLoader(dev, batch_size=2, shuffle=False)
+    (c, l1), (s, l2) = next(iter(loader))
+    assert c.dtype == jnp.uint8 and c.shape == (2, 128, 128, 1)
+    assert l1 == ["guitar", "piano"] and l2 == ["piano", "violin"]
+    assert len(list(loader)) == 3
+
+
+def test_device_resident_pairs_feed_train_step(pack_file, tmp_path):
+    """An LDM train step consumes device-resident u8 batches directly."""
+    import dataclasses
+    from music_style_transfer_ldm_tpu.config import default_config
+    from music_style_transfer_ldm_tpu.datasets import (
+        DevicePairLoader, DeviceResidentPairs,
+    )
+    from music_style_transfer_ldm_tpu.training import LDMTrainer
+    path, _, _ = pack_file
+    csv = tmp_path / "pairs.csv"
+    csv.write_text("guitar,0,piano,1\npiano,2,violin,0\nviolin,3,guitar,1\n"
+                   "guitar,2,violin,4\n")
+    cfg = default_config()
+    cfg.train = dataclasses.replace(cfg.train, compute_dtype="float32")
+    trainer = LDMTrainer(cfg, perceptual=False)
+    state = trainer.init_state(0)
+    dev = DeviceResidentPairs(path, csv, mesh=trainer.mesh)
+    loader = DevicePairLoader(dev, batch_size=4, shuffle=False)
+    state, avgs = trainer.train_epoch(state, loader, 0,
+                                      __import__("jax").random.PRNGKey(0))
+    assert np.isfinite(avgs["total_loss"])
