@@ -120,10 +120,11 @@ def measure_pipeline(trainer, state, loader, n_steps: int = 100,
     key = jax.random.PRNGKey(99)
 
     def prep(batch):
+        # No np.asarray: device-resident batches must stay on device.
         (content, _), (style, _) = batch
         w = batch_validity_weights(len(content), n_data, trainer.mesh)
-        return (shard_batch(np.asarray(content), trainer.mesh),
-                shard_batch(np.asarray(style), trainer.mesh), w)
+        return (shard_batch(content, trainer.mesh),
+                shard_batch(style, trainer.mesh), w)
 
     # Pipelined pass: no per-step sync; measure time blocked on the loader.
     it = iter(loader)
@@ -181,6 +182,10 @@ def main() -> int:
     p.add_argument("--ldm-epochs", type=int, default=202)
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--resume-ldm", default=None)
+    p.add_argument("--device-resident", action="store_true",
+                   help="keep the whole pack in HBM and gather batches on "
+                        "device (datasets/device.py) instead of streaming "
+                        "uint8 batches through the relay")
     p.add_argument("--results-dir", default=str(REPO / "docs" / "results"
                                                 / "fullscale"))
     args = p.parse_args()
@@ -193,8 +198,8 @@ def main() -> int:
     import jax
     from music_style_transfer_ldm_tpu.config import default_config
     from music_style_transfer_ldm_tpu.datasets import (
-        PackedBatchLoader, PackedPairDataset, PackedSpectrogramDataset,
-        train_test_split,
+        DevicePairLoader, DeviceResidentPairs, PackedBatchLoader,
+        PackedPairDataset, PackedSpectrogramDataset, train_test_split,
     )
     from music_style_transfer_ldm_tpu.training import (
         AETrainer, LDMTrainer, checkpoint as ckpt_lib,
@@ -235,15 +240,27 @@ def main() -> int:
 
     # ---- phase 2: LDM ----------------------------------------------------
     ldm_dir = workdir / "runs" / "ldm"
-    pair_ds = PackedPairDataset(workdir / "train.spk", workdir / "pairings.csv")
-    print(f"pair dataset: {len(pair_ds)} pairs, "
-          f"native={pair_ds.pack.native}", flush=True)
-    tr, _ = train_test_split(len(pair_ds), cfg.train.train_split,
-                             seed=cfg.train.seed)
-    train_loader = PackedBatchLoader(pair_ds, args.batch, indices=tr,
-                                     shuffle=True, seed=cfg.train.seed,
-                                     dtype="uint8")
     trainer = LDMTrainer(cfg)
+    if args.device_resident:
+        pair_ds = DeviceResidentPairs(workdir / "train.spk",
+                                      workdir / "pairings.csv",
+                                      mesh=trainer.mesh)
+        print(f"pair dataset: {len(pair_ds)} pairs, device-resident "
+              f"({pair_ds.images.nbytes / 1e6:.0f} MB in HBM)", flush=True)
+        tr, _ = train_test_split(len(pair_ds), cfg.train.train_split,
+                                 seed=cfg.train.seed)
+        train_loader = DevicePairLoader(pair_ds, args.batch, indices=tr,
+                                        shuffle=True, seed=cfg.train.seed)
+    else:
+        pair_ds = PackedPairDataset(workdir / "train.spk",
+                                    workdir / "pairings.csv")
+        print(f"pair dataset: {len(pair_ds)} pairs, "
+              f"native={pair_ds.pack.native}", flush=True)
+        tr, _ = train_test_split(len(pair_ds), cfg.train.train_split,
+                                 seed=cfg.train.seed)
+        train_loader = PackedBatchLoader(pair_ds, args.batch, indices=tr,
+                                         shuffle=True, seed=cfg.train.seed,
+                                         dtype="uint8")
     pre = ckpt_lib.load_autoencoder(ae_dir / "pretrained")
     t0 = time.time()
     state = trainer.train(train_loader, num_epochs=args.ldm_epochs,
