@@ -190,9 +190,10 @@ class AETrainer:
                 for x, w in prefetch_to_device(val_loader, place):
                     val_losses.append(self._val_step(state, x, vgg, w))
 
-                train_loss = float(
-                    np.mean([float(l) for l in train_losses]))
-                val_loss = float(np.mean([float(l) for l in val_losses]))
+                # One host fetch per epoch (a float() per loss would pay a
+                # relay round trip each).
+                train_loss = float(np.mean(jax.device_get(train_losses)))
+                val_loss = float(np.mean(jax.device_get(val_losses)))
 
             self.plateau = plateau_update(self.plateau, val_loss)
             state = state.replace(opt_state=set_learning_rate(

@@ -224,8 +224,12 @@ class LDMTrainer:
                                               self._feature_params(), weights)
             collected.append(metrics)
         n = len(collected)
+        # ONE host fetch for the whole epoch's metrics: each float() is a
+        # full relay round trip, so per-step (or even per-metric) readback
+        # costs seconds per epoch through the tunnel.
+        collected = jax.device_get(collected)
         sums: dict = {}
-        for metrics in collected:  # host fetch once per epoch
+        for metrics in collected:
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
         avgs = {k: v / max(n, 1) for k, v in sums.items()}
