@@ -49,7 +49,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from music_style_transfer_ldm_tpu.diffusion.ddim import transfer_time_grid
+from music_style_transfer_ldm_tpu.diffusion.ddim import (
+    generation_time_grid, transfer_time_grid,
+)
 from music_style_transfer_ldm_tpu.diffusion.schedule import DiffusionSchedule
 
 # UNet geometry (ref: models/model.py:163-231; models/unet.py).  The latent
@@ -429,6 +431,41 @@ def _fused_transfer_impl(model, variables, key, content_spec, style_spec,
                                 dtype=model.dtype, interpret=interpret)
     decoded = model.apply(variables, sampled, method=LDM.decode)
     return (decoded.astype(jnp.float32) + 1.0) / 2.0
+
+
+@functools.partial(jax.jit, static_argnames=("model", "z_shape", "timesteps",
+                                              "eta", "interpret"))
+def _fused_generate_impl(model, variables, key, z_shape, style_spec,
+                         timesteps, eta, interpret):
+    from music_style_transfer_ldm_tpu.models.ldm import LDM
+    sched = model.schedule
+    z_t = jax.random.normal(key, z_shape, jnp.float32)
+    emb = model.apply(variables, style_spec.astype(jnp.float32),
+                      method=LDM.style_embed)
+    times = generation_time_grid(model.num_timesteps, timesteps)
+    ops, names = pack_operands(variables["params"]["unet"], emb, sched,
+                               times, eta, dtype=model.dtype)
+    sampled = fused_ddim_sample(ops, names, z_t, len(times) - 1,
+                                dtype=model.dtype, interpret=interpret)
+    decoded = model.apply(variables, sampled, method=LDM.decode)
+    return (decoded.astype(jnp.float32) + 1.0) / 2.0
+
+
+def fused_style_sample(model, variables, key: jax.Array,
+                       z_shape: Tuple[int, ...], style_spec: jax.Array,
+                       timesteps: int = 100, eta: float = 0.0,
+                       interpret: bool | None = None) -> jax.Array:
+    """Batch-1 style-conditioned generation from pure noise with the fused
+    trajectory kernel — same grid and update as models.ldm
+    style_ddim_sample (ref: model.py:382-465)."""
+    if z_shape[0] != 1:
+        raise ValueError("fused sampler is the batch-1 latency path; "
+                         f"got batch {z_shape[0]}")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _fused_generate_impl(model, variables, key, tuple(z_shape),
+                                style_spec.astype(jnp.float32),
+                                int(timesteps), float(eta), bool(interpret))
 
 
 def fused_content_style_transfer(model, variables, key: jax.Array,

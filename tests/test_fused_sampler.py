@@ -96,6 +96,22 @@ def test_eta_parity(setup):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_generation_parity(setup):
+    """Fused generation (noise -> image) matches style_ddim_sample."""
+    from music_style_transfer_ldm_tpu.models.ldm import style_ddim_sample
+    from music_style_transfer_ldm_tpu.ops.pallas.fused_sampler import (
+        fused_style_sample,
+    )
+    model, variables, _, s = setup
+    key = jax.random.PRNGKey(21)
+    z_shape = (1, 16, 16, 32)
+    ref, _ = style_ddim_sample(model, variables, key, z_shape, s,
+                               timesteps=12)
+    out = fused_style_sample(model, variables, key, z_shape, s,
+                             timesteps=12, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_batch_guard(setup):
     model, variables, x, s = setup
     x2 = jnp.concatenate([x, x], axis=0)
