@@ -1,15 +1,25 @@
 """Headline benchmark (library form). Prints ONE JSON line to stdout.
 
-Primary metric: DDIM denoise step latency on the flagship LDM (bf16,
-batch 1, 50-step style-conditioned transfer as one fused lax.scan),
-measured on whatever accelerator jax selects (the real TPU chip under the
-driver). Baseline: the driver's north-star target of 50 ms/step
-(BASELINE.md; the reference publishes no numbers of its own —
-vs_baseline > 1 means faster than the target).
+Primary metric: DDIM denoise step DEVICE time on the flagship LDM (bf16,
+batch 1, 49-step style-conditioned transfer as one fused Pallas
+trajectory kernel), measured on whatever accelerator jax selects (the
+real TPU chip under the driver). Baseline: the driver's north-star target
+of 50 ms/step (BASELINE.md; the reference publishes no numbers of its own
+— vs_baseline > 1 means faster than the target).
 
-Secondary numbers (stderr): full 10 s clip end-to-end transfer
-(mel -> VAE encode -> 50-step DDIM -> decode -> NNLS + Griffin-Lim audio),
-target < 5 s.
+Methodology note (round 2): this chip is reached through the axon relay,
+whose synchronous round trip is ~27 ms — more than the device time of an
+entire 49-step trajectory. Single-call sync timing (round 1's 0.576
+ms/step) therefore measures the RELAY, not the chip. Device time is now
+measured by chaining N full trajectories inside one jitted program
+(each trajectory consumes the previous one's output, so nothing can be
+elided) and amortizing: (t_chain - t_sync_floor) / N. The sync floor and
+the single-call client latency are still reported alongside.
+
+Secondary numbers (stderr): the lax.scan sampler's device step time, full
+10 s clip end-to-end transfer (mel -> VAE encode -> 50-step DDIM ->
+decode -> NNLS + Griffin-Lim audio, target < 5 s), DPM++ half-grid
+latency, batch-64 throughput + MFU, batch-128 train step + MFU.
 """
 
 from __future__ import annotations
@@ -125,6 +135,12 @@ def main() -> None:
         content, style, jnp.zeros((1,), jnp.int32))
 
     steps = 50
+    n_steps = steps - 1
+    on_cpu = jax.default_backend() == "cpu"
+    # Chain lengths: long enough that device compute dominates the ~2 ms
+    # relay RTT jitter (the floor subtraction is min-of-noisy-samples, so
+    # short chains can apparently exceed peak FLOP/s).
+    n_chain = 2 if on_cpu else 128
 
     def transfer(content, style):
         decoded, _, _ = content_style_transfer(
@@ -134,10 +150,55 @@ def main() -> None:
 
     transfer_jit = jax.jit(transfer)
     total_s, _ = timed(transfer_jit, content, style)
-    # The scan takes steps-1 UNet evaluations (ref loop semantics).
-    step_ms = total_s / (steps - 1) * 1000.0
-    log(f"50-step transfer: {total_s*1000:.1f} ms total, "
-        f"{step_ms:.2f} ms/step")
+    log(f"50-step transfer, single-call client latency (includes one relay "
+        f"round trip): {total_s*1000:.1f} ms")
+
+    # ---- relay sync floor: a no-op readback ------------------------------
+    floor_s, _ = timed(jax.jit(lambda a: a.sum()), content, repeats=10,
+                       warmup=10)
+    log(f"sync floor (jit(sum) + readback): {floor_s*1000:.2f} ms")
+
+    # ---- headline: device-amortized step time, chained trajectories ------
+    from music_style_transfer_ldm_tpu.diffusion.ddim import (
+        ddim_sample, transfer_time_grid,
+    )
+    from music_style_transfer_ldm_tpu.models.ldm import _denoise_fn
+    from music_style_transfer_ldm_tpu.ops.pallas.fused_sampler import (
+        fused_ddim_sample, pack_operands,
+    )
+    sched = model.schedule
+    emb = model.apply(variables, style, method=LDM.style_embed)
+    times = transfer_time_grid(steps)
+    z0 = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 16, 32),
+                           jnp.float32)
+
+    @jax.jit
+    def chain_fused(z):
+        ops, names = pack_operands(variables["params"]["unet"], emb, sched,
+                                   times, 0.0, dtype=jnp.bfloat16)
+        return jax.lax.fori_loop(
+            0, n_chain,
+            lambda i, z: fused_ddim_sample(ops, names, z, n_steps,
+                                           dtype=jnp.bfloat16,
+                                           interpret=on_cpu), z)
+
+    @jax.jit
+    def chain_scan(z):
+        fn = _denoise_fn(model, variables, emb)
+        return jax.lax.fori_loop(
+            0, n_chain,
+            lambda i, z: ddim_sample(fn, sched, z, jnp.asarray(times),
+                                     eta=0.0)[0], z)
+
+    fused_s, _ = timed(chain_fused, z0, warmup=15)
+    step_ms = max(fused_s - floor_s, 1e-9) / n_chain / n_steps * 1000.0
+    log(f"fused Pallas trajectory kernel x{n_chain} chained: "
+        f"{fused_s*1000:.1f} ms -> {step_ms:.4f} ms/step device time")
+    scan_s, _ = timed(chain_scan, z0, warmup=15)
+    scan_step_ms = max(scan_s - floor_s, 1e-9) / n_chain / n_steps * 1000.0
+    log(f"lax.scan sampler x{n_chain} chained: {scan_s*1000:.1f} ms -> "
+        f"{scan_step_ms:.4f} ms/step device time "
+        f"(fused kernel speedup {scan_step_ms/step_ms:.2f}x)")
 
     # ---- secondary: DPM-Solver++(2M) on a half-coarse grid ---------------
     def transfer_dpm(content, style):
@@ -181,37 +242,68 @@ def main() -> None:
     peak = _peak_flops_per_sec(jax.devices()[0])
     content64 = jnp.tile(content, (64, 1, 1, 1))
     style64 = jnp.tile(style, (64, 1, 1, 1))
-    thr_s, _ = timed(transfer_jit, content64, style64, repeats=2, warmup=5)
+    n_b64 = 1 if on_cpu else 16
+
+    @jax.jit
+    def chain_b64(c):
+        # Each iteration's decoded [0,1] output is the next content, and the
+        # style batch is rotated per iteration — without that, XLA hoists
+        # the loop-invariant style-encoder forward out of the chain and the
+        # amortized time flatters the real per-batch cost.
+        def body(i, c):
+            return transfer(c, jnp.roll(style64, i, axis=0))
+        return jax.lax.fori_loop(0, n_b64, body, c)
+
+    b64_s, _ = timed(chain_b64, content64, repeats=3, warmup=5)
+    thr_s = max(b64_s - floor_s, 1e-9) / n_b64
     transfer_flops = _flops(transfer_jit, content64, style64)
     transfer_mfu = _mfu(transfer_flops, thr_s, peak)
-    log(f"batch-64 transfer throughput: {64 / thr_s:.0f} clips/s "
-        f"({thr_s * 1000:.1f} ms/batch), "
+    log(f"batch-64 transfer throughput (x{n_b64} chained, device time): "
+        f"{64 / thr_s:.0f} clips/s ({thr_s * 1000:.1f} ms/batch), "
         f"{(transfer_flops or 0) / 1e9:.1f} GFLOP"
         + (f", MFU {transfer_mfu:.1%}" if transfer_mfu is not None else ""))
 
     # ---- secondary: batch-128 LDM train step (reference recipe) + MFU ----
     from music_style_transfer_ldm_tpu.training import LDMTrainer
-    trainer = LDMTrainer(cfg)  # full recipe: lpips compression + vggish style
+    # Full recipe: lpips compression + vggish style.  The flagship run uses
+    # the TRAINABLE style term (style_loss_stop_gradient=False — the mode
+    # that actually converges, docs/results/fullscale/): with gradients
+    # flowing through it the style branch stays live in the chained loop
+    # below even though the per-step metrics are discarded.  (With the
+    # reference's no_grad quirk the style forward is metric-only, XLA
+    # dead-code-eliminates it when metrics are dropped, and the measured
+    # "step" silently loses ~2/3 of its FLOPs.)
+    import dataclasses as _dc
+    bench_cfg = _dc.replace(cfg)
+    bench_cfg.train = _dc.replace(cfg.train, style_loss_stop_gradient=False)
+    trainer = LDMTrainer(bench_cfg)
     state = trainer.init_state(0)
     fparams = trainer._feature_params()
     c128 = jnp.tile(content, (128, 1, 1, 1))
     s128 = jnp.tile(style, (128, 1, 1, 1))
     key = jax.random.PRNGKey(9)
     train_flops = _flops(trainer._train_step, state, c128, s128, key, fparams)
-    # donate_argnums=(0,) invalidates the old state: thread it through.
-    state, m = trainer._train_step(state, c128, s128, key, fparams)
-    _sync(m["total_loss"])  # compile
-    for _ in range(25):  # relay warm-up
-        state, m = trainer._train_step(state, c128, s128, key, fparams)
-    _sync(m["total_loss"])
-    train_s = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        state, m = trainer._train_step(state, c128, s128, key, fparams)
-        _sync(m["total_loss"])
-        train_s = min(train_s, time.perf_counter() - t0)
+    n_train = 1 if on_cpu else 16
+
+    @jax.jit
+    def chain_train(st):
+        # Dependent chain: each step consumes the previous step's state.
+        # Rotate the batches per iteration — with a constant batch XLA
+        # hoists the loop-invariant perceptual-feature branches (the style
+        # image's VGGish forward, the content's LPIPS forward) out of the
+        # loop, and the amortized step time comes out impossibly fast
+        # (>100% MFU was observed).
+        def body(i, st):
+            return trainer._step(st, jnp.roll(c128, i, axis=0),
+                                 jnp.roll(s128, i, axis=0),
+                                 jax.random.fold_in(key, i), fparams)[0]
+        return jax.lax.fori_loop(0, n_train, body, st)
+
+    tr_s, state = timed(chain_train, state, repeats=4, warmup=8)
+    train_s = max(tr_s - floor_s, 1e-9) / n_train
     train_mfu = _mfu(train_flops, train_s, peak)
-    log(f"batch-128 train step: {train_s * 1000:.1f} ms, "
+    log(f"batch-128 train step (x{n_train} chained, device time): "
+        f"{train_s * 1000:.1f} ms, "
         f"{(train_flops or 0) / 1e9:.1f} GFLOP"
         + (f", MFU {train_mfu:.1%}" if train_mfu is not None else "")
         + f" ({128 / train_s:.0f} samples/s)")
@@ -219,9 +311,16 @@ def main() -> None:
     baseline_ms = 50.0  # BASELINE.md north-star: < 50 ms/DDIM step
     print(json.dumps({
         "metric": "ddim_step_ms",
-        "value": round(step_ms, 3),
+        "value": round(step_ms, 4),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / step_ms, 2),
+        "methodology": ("device time, N chained trajectories in one "
+                        "dispatch minus sync floor; round-1 value (0.576) "
+                        "was bound by the ~27 ms relay round trip"),
+        "sampler": "fused pallas trajectory kernel (ops/pallas)",
+        "scan_step_ms": round(scan_step_ms, 4),
+        "client_latency_50step_ms": round(total_s * 1000, 2),
+        "sync_floor_ms": round(floor_s * 1000, 2),
         "chip": str(getattr(jax.devices()[0], "device_kind", "unknown")),
         "chip_peak_tflops": (round(peak / 1e12) if peak else None),
         "transfer_dpm_halfgrid_ms": round(dpm_s * 1000, 2),

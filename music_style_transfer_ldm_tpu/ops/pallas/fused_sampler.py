@@ -167,7 +167,9 @@ def pack_operands(unet_params: Dict[str, Any],
     temb = jax.nn.gelu(temb)  # approximate=True, as flax nn.gelu
     temb = temb @ jnp.asarray(p["time_fc2"]["kernel"], dtype)
     temb = temb + jnp.asarray(p["time_fc2"]["bias"], dtype)
-    add("temb", temb)                                     # [S-1, 128]
+    # [S-1, 1, 128]: 3D so the kernel can index the step row dynamically
+    # (leading dims of >2D VMEM arrays have no sublane-alignment rule).
+    add("temb", temb[:, None, :])
 
     ab = schedule.alpha_bars.astype(jnp.float32)
     ab_t = ab[jnp.asarray(times[:-1])]
@@ -229,7 +231,10 @@ def _conv_sel(x, sel, w, b, relu: bool):
     """sum_t (sel[t] @ x) @ w[t]: selection-matrix im2col conv."""
     acc = None
     for t in range(9):
-        tap = jnp.dot(sel[t], x, preferred_element_type=x.dtype)
+        # f32 accumulator (Mosaic requires 32-bit matmul acc); the gather
+        # is exact either way — each output row is a single product.
+        tap = jnp.dot(sel[t], x,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
         y = jnp.dot(tap, w[t], preferred_element_type=jnp.float32)
         acc = y if acc is None else acc + y
     acc = acc + b[0].astype(jnp.float32)
@@ -333,19 +338,26 @@ def _make_kernel(names, n_steps: int, dtype):
             x_scr[:] = x0_ref[:]
 
         def op(name):
-            r = op_refs[idx[name]]
-            return r[:] if name in ("temb", "coefs") else r[...]
+            return op_refs[idx[name]][...]
 
         def roll(a, shift):
-            # pltpu.roll wants a non-negative shift; rolls are circular so
-            # reduce mod the sublane count.
-            return pltpu.roll(a, shift % a.shape[0], axis=0)
+            # jnp.roll semantics via a static two-slice concat: Mosaic's
+            # tpu.dynamic_rotate is unimplemented for bf16, and the shifts
+            # here are all static anyway.
+            m = (-shift) % a.shape[0]
+            if m == 0:
+                return a
+            return jnp.concatenate([a[m:], a[:m]], axis=0)
+
+        # Per-step rows are sliced out of the full resident tables (a
+        # (1, 128) streamed block would violate the sublane tiling rule;
+        # temb is [S-1, 1, 128] so the step index is a free leading dim).
+        temb_row = op_refs[idx["temb"]][i]
+        coefs_ref = op_refs[idx["coefs"]]
 
         x = x_scr[:]
-        eps = _unet_step(x.astype(dtype), op, op_refs[idx["temb"]][:],
-                         dtype, roll)
-        coefs = op_refs[idx["coefs"]]
-        x_new = coefs[0, 0] * x + coefs[0, 1] * eps
+        eps = _unet_step(x.astype(dtype), op, temb_row, dtype, roll)
+        x_new = coefs_ref[i, 0] * x + coefs_ref[i, 1] * eps
         x_scr[:] = x_new
         out_ref[:] = x_new
 
@@ -363,16 +375,9 @@ def fused_ddim_sample(operands: list, names: list, z_t: jax.Array,
 
     in_specs = []
     for n, a in zip(names, operands):
-        if n == "temb":
-            in_specs.append(pl.BlockSpec((1, a.shape[1]), lambda i: (i, 0),
-                                         memory_space=pltpu.VMEM))
-        elif n == "coefs":
-            in_specs.append(pl.BlockSpec((1, 2), lambda i: (i, 0),
-                                         memory_space=pltpu.SMEM))
-        else:
-            in_specs.append(pl.BlockSpec(
-                a.shape, lambda i, _r=a.ndim: (0,) * _r,
-                memory_space=pltpu.VMEM))
+        space = pltpu.SMEM if n == "coefs" else pltpu.VMEM
+        in_specs.append(pl.BlockSpec(
+            a.shape, lambda i, _r=a.ndim: (0,) * _r, memory_space=space))
     in_specs.append(pl.BlockSpec(x0.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM))
 
@@ -402,7 +407,7 @@ def reference_ddim_sample(operands: list, names: list, z_t: jax.Array,
     op = lambda n: operands[idx[n]]
     roll = lambda a, s: jnp.roll(a, s, axis=0)
     for i in range(n_steps):
-        eps = _unet_step(x.astype(dtype), op, temb[i:i + 1], dtype, roll)
+        eps = _unet_step(x.astype(dtype), op, temb[i], dtype, roll)
         x = coefs[i, 0] * x + coefs[i, 1] * eps
     return x.reshape(shape)
 
