@@ -132,10 +132,18 @@ def cmd_generate(args) -> int:
     model, variables = _restore_ldm(cfg, args.checkpoint)
     style = _load_image_or_audio(args.style, ap)
     lat = cfg.model.image_size // 8
-    decoded, _ = style_ddim_sample(
-        model, variables, jax.random.PRNGKey(args.seed),
-        (1, lat, lat, cfg.model.latent_dim), style,
-        timesteps=args.steps, eta=args.eta, sampler=args.sampler)
+    z_shape = (1, lat, lat, cfg.model.latent_dim)
+    if args.sampler == "fused":
+        from music_style_transfer_ldm_tpu.ops.pallas.fused_sampler import (
+            fused_style_sample,
+        )
+        decoded = fused_style_sample(
+            model, variables, jax.random.PRNGKey(args.seed), z_shape, style,
+            timesteps=args.steps, eta=args.eta)
+    else:
+        decoded, _ = style_ddim_sample(
+            model, variables, jax.random.PRNGKey(args.seed), z_shape, style,
+            timesteps=args.steps, eta=args.eta, sampler=args.sampler)
     _save_outputs(np.asarray(decoded[0, :, :, 0]), args.output, ap)
     return 0
 
@@ -172,10 +180,24 @@ def cmd_transfer(args) -> int:
         content = _audio_to_chunk_images(args.content, ap)
     style = np.repeat(_load_image_or_audio(args.style, ap),
                       content.shape[0], axis=0)
-    decoded, _, _ = content_style_transfer(
-        model, variables, jax.random.PRNGKey(args.seed),
-        content, style, num_timesteps=args.steps, eta=args.eta,
-        sampler=args.sampler, steps=args.sample_steps)
+    if args.sampler == "fused":
+        # The fused Pallas trajectory kernel is the batch-1 latency path;
+        # multi-chunk clips run it once per chunk (one compile, reused).
+        from music_style_transfer_ldm_tpu.ops.pallas.fused_sampler import (
+            fused_content_style_transfer,
+        )
+        import jax.numpy as jnp
+        decoded = jnp.concatenate([
+            fused_content_style_transfer(
+                model, variables, jax.random.PRNGKey(args.seed + i),
+                content[i:i + 1], style[i:i + 1],
+                num_timesteps=args.steps, eta=args.eta)
+            for i in range(content.shape[0])], axis=0)
+    else:
+        decoded, _, _ = content_style_transfer(
+            model, variables, jax.random.PRNGKey(args.seed),
+            content, style, num_timesteps=args.steps, eta=args.eta,
+            sampler=args.sampler, steps=args.sample_steps)
     _save_outputs(np.asarray(decoded[:, :, :, 0]), args.output, ap)
     return 0
 
@@ -356,7 +378,8 @@ def build_parser() -> argparse.ArgumentParser:
     gen.add_argument("--style", required=True)
     gen.add_argument("--steps", type=int, default=100)
     gen.add_argument("--eta", type=float, default=0.0)
-    gen.add_argument("--sampler", choices=["ddim", "dpm++"], default="ddim")
+    gen.add_argument("--sampler", choices=["ddim", "dpm++", "fused"],
+                     default="ddim")
     gen.add_argument("--seed", type=int, default=0)
     gen.add_argument("--output", default="outputs/generated")
     gen.set_defaults(fn=cmd_generate)
@@ -367,7 +390,8 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--style", required=True)
     tr.add_argument("--steps", type=int, default=100)
     tr.add_argument("--eta", type=float, default=0.0)
-    tr.add_argument("--sampler", choices=["ddim", "dpm++"], default="ddim")
+    tr.add_argument("--sampler", choices=["ddim", "dpm++", "fused"],
+                    default="ddim")
     tr.add_argument("--sample-steps", type=int, default=None,
                     help="coarse sampler grid (< --steps noising depth); "
                          "pairs with --sampler dpm++ for ~2x fewer "

@@ -50,6 +50,44 @@ def test_build_dataset_and_pairings(tmp_path, monkeypatch, rng):
     assert len(lines) == 6
 
 
+def test_transfer_fused_sampler_end_to_end(tmp_path, monkeypatch):
+    """cli transfer --sampler fused: WAV in -> WAV + PNG out via the fused
+    Pallas trajectory kernel (interpret mode on CPU)."""
+    import jax
+    import jax.numpy as jnp
+    from music_style_transfer_ldm_tpu.config import default_config
+    from music_style_transfer_ldm_tpu.models.ldm import LDM
+    from music_style_transfer_ldm_tpu.training import checkpoint as ckpt_lib
+
+    monkeypatch.chdir(tmp_path)
+    cfg = default_config()
+    model = LDM(latent_dim=cfg.model.latent_dim,
+                num_timesteps=cfg.diffusion.num_timesteps,
+                dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 128, 128, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "diffusion": jax.random.PRNGKey(1)}, x, x,
+        jnp.zeros((1,), jnp.int32))
+    ckpt_lib.save_pytree(tmp_path / "ldm_ckpt",
+                         {"params": variables["params"],
+                          "batch_stats": variables.get("batch_stats", {})})
+
+    sr = 22050
+    t = np.arange(3 * sr) / sr
+    write_wav(tmp_path / "content.wav",
+              (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32), sr)
+    write_wav(tmp_path / "style.wav",
+              (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), sr)
+
+    assert main(["transfer", "--checkpoint", str(tmp_path / "ldm_ckpt"),
+                 "--content", str(tmp_path / "content.wav"),
+                 "--style", str(tmp_path / "style.wav"),
+                 "--sampler", "fused", "--steps", "8",
+                 "--output", str(tmp_path / "out")]) == 0
+    assert (tmp_path / "out.wav").exists()
+
+
 def test_build_dataset_parquet(tmp_path, monkeypatch, rng):
     monkeypatch.chdir(tmp_path)
     sr = 22050
