@@ -1,0 +1,127 @@
+"""Quantitative transfer evaluation on held-out pairs.
+
+Measures what the reference only eyeballed (ref: models/tests.py:1043-1132
+saves PNGs with no asserts): pixel-space MSEs between content / style /
+transfer output, VGGish feature-space style distance, and the style-
+distance reduction relative to the content-vs-style baseline — the axis on
+which the reference's own training reported no movement
+(ref: report/conclusion.tex:7-9).
+
+    python tools/eval_transfer.py --checkpoint runs/fullscale/runs/ldm/ldm_final \
+        --pack runs/fullscale/train.spk --pairings runs/fullscale/pairings.csv \
+        --out-dir docs/results/fullscale
+
+Writes transfer_eval.json and a content/style/transfer panel PNG.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--pack", required=True)
+    p.add_argument("--pairings", required=True)
+    p.add_argument("--n-pairs", type=int, default=8)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--out-dir", default="docs/results/fullscale")
+    args = p.parse_args()
+
+    from music_style_transfer_ldm_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from music_style_transfer_ldm_tpu.config import default_config
+    from music_style_transfer_ldm_tpu.datasets import (
+        PackedPairDataset, train_test_split,
+    )
+    from music_style_transfer_ldm_tpu.losses.feature import (
+        build_feature_metric,
+    )
+    from music_style_transfer_ldm_tpu.models.ldm import (
+        content_style_transfer, load_ldm,
+    )
+
+    cfg = default_config()
+    model, variables = load_ldm(cfg, full_checkpoint=args.checkpoint)
+
+    ds = PackedPairDataset(args.pack, args.pairings)
+    _, held = train_test_split(len(ds), cfg.train.train_split,
+                               seed=cfg.train.seed)
+    idx = held[:args.n_pairs]
+    batches = [ds[i] for i in idx]
+    content = jnp.stack([np.asarray(b[0][0], np.float32) for b in batches])
+    style = jnp.stack([np.asarray(b[1][0], np.float32) for b in batches])
+    print(f"{len(idx)} held-out pairs (test split), steps={args.steps}",
+          flush=True)
+
+    decoded, _, _ = content_style_transfer(
+        model, variables, jax.random.PRNGKey(0), content, style,
+        num_timesteps=args.steps)
+    decoded = np.asarray(decoded)
+    content_np, style_np = np.asarray(content), np.asarray(style)
+
+    mse = lambda a, b: float(np.mean((a - b) ** 2))
+    vgg = build_feature_metric("vggish", dtype=jnp.float32)
+    vgg.init(seed=3, input_shape=(1,) + content.shape[1:])
+    dist = lambda a, b: float(vgg.distance(vgg.params, jnp.asarray(a),
+                                           jnp.asarray(b)))
+
+    base = dist(content_np, style_np)
+    got = dist(decoded, style_np)
+    results = {
+        "n_pairs": len(idx),
+        "steps": args.steps,
+        "pixel_mse_transfer_vs_content": round(mse(decoded, content_np), 4),
+        "pixel_mse_transfer_vs_style": round(mse(decoded, style_np), 4),
+        "pixel_mse_content_vs_style_baseline": round(mse(content_np,
+                                                         style_np), 4),
+        "vggish_distance_transfer_vs_style": round(got, 4),
+        "vggish_distance_content_vs_style_baseline": round(base, 4),
+        "style_distance_reduction_pct": round(100 * (1 - got / base), 1),
+        "checkpoint": str(args.checkpoint),
+    }
+    print(json.dumps(results, indent=2), flush=True)
+
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "transfer_eval.json").write_text(json.dumps(results, indent=2)
+                                            + "\n")
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        n = min(4, len(idx))
+        fig, axes = plt.subplots(3, n, figsize=(3 * n, 9))
+        for j in range(n):
+            for row, (img, title) in enumerate(
+                    [(content_np[j], "content"), (style_np[j], "style"),
+                     (decoded[j], "transfer")]):
+                ax = axes[row, j] if n > 1 else axes[row]
+                ax.imshow(img[:, :, 0], cmap="gray", vmin=0, vmax=1,
+                          origin="lower")
+                ax.set_axis_off()
+                if j == 0:
+                    ax.set_title(title, loc="left")
+        fig.tight_layout()
+        fig.savefig(out / "transfer_panel.png", dpi=110)
+        print(f"panel -> {out / 'transfer_panel.png'}", flush=True)
+    except Exception as e:  # noqa: BLE001 — plotting is best-effort
+        print(f"panel failed: {e}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
