@@ -144,7 +144,8 @@ def _sinusoidal(times: jax.Array, dim: int = 128) -> jax.Array:
 def pack_operands(unet_params: Dict[str, Any],
                   style_embedding: Dict[str, jax.Array],
                   schedule: DiffusionSchedule, times: np.ndarray,
-                  eta: float, dtype=jnp.bfloat16) -> Tuple[list, list]:
+                  eta: float, dtype=jnp.bfloat16,
+                  sampler: str = "ddim") -> Tuple[list, list]:
     """Build the kernel operand list (everything except the latent).
 
     Traceable (pure jnp on the params / style embedding), so the whole
@@ -171,14 +172,40 @@ def pack_operands(unet_params: Dict[str, Any],
     # (leading dims of >2D VMEM arrays have no sublane-alignment rule).
     add("temb", temb[:, None, :])
 
+    # Per-step update scalars.  Both samplers collapse to
+    #   x      <- A*x + B*eps_hat + C*prev_x0
+    #   prev_x0 <- P*x + Q*eps_hat            (computed from the OLD x)
+    # DDIM (ref update model.py:446-458) has C = 0; DPM-Solver++(2M)
+    # (diffusion/dpm.py) uses the multistep x0 history through C.
     ab = schedule.alpha_bars.astype(jnp.float32)
     ab_t = ab[jnp.asarray(times[:-1])]
     ab_n = ab[jnp.asarray(times[1:])]
     sq_t, sq_n = jnp.sqrt(ab_t), jnp.sqrt(ab_n)
     s1m_t, s1m_n = jnp.sqrt(1.0 - ab_t), jnp.sqrt(1.0 - ab_n)
-    A = sq_n / sq_t
-    B = -sq_n * s1m_t / sq_t + (1.0 + eta) * s1m_n - eta * s1m_t
-    add("coefs", jnp.stack([A, B], axis=1), jnp.float32)  # [S-1, 2] SMEM
+    P = 1.0 / sq_t
+    Q = -s1m_t / sq_t
+    if sampler == "ddim":
+        A = sq_n / sq_t
+        B = -sq_n * s1m_t / sq_t + (1.0 + eta) * s1m_n - eta * s1m_t
+        C = jnp.zeros_like(A)
+    elif sampler == "dpm++":
+        if eta:
+            raise ValueError("dpm++ is deterministic; eta must be 0")
+        lam = jnp.log(sq_t / s1m_t)
+        lam_n = jnp.log(sq_n / s1m_n)
+        h = lam_n - lam
+        prev_lam = jnp.concatenate([lam[:1], lam[:-1]])  # lam_{i-1}
+        r = jnp.where(jnp.arange(len(h)) > 0, (lam - prev_lam) / h, 1.0)
+        E = -sq_n * jnp.expm1(-h)
+        first = jnp.arange(len(h)) == 0
+        c2 = jnp.where(first, E, E * (1.0 + 1.0 / (2.0 * r)))
+        C = jnp.where(first, 0.0, -E / (2.0 * r))
+        A = s1m_n / s1m_t + c2 * P
+        B = c2 * Q
+    else:
+        raise ValueError(f"unknown sampler {sampler!r}")
+    add("coefs", jnp.stack([A, B, C, P, Q], axis=1),
+        jnp.float32)                                      # [S-1, 5] SMEM
 
     # Conv layers ----------------------------------------------------------
     for name, kind, H, _, _, _ in _LAYERS:
@@ -327,15 +354,17 @@ def _make_kernel(names, n_steps: int, dtype):
     idx = {n: i for i, n in enumerate(names)}
 
     def kernel(*refs):
-        # refs: temb_row, coefs_row, *weights, x0, out, x_scr
-        x0_ref, out_ref, x_scr = refs[-3], refs[-2], refs[-1]
-        op_refs = refs[:-3]
+        # refs: *operands, x0, out, x_scr, prev_scr
+        x0_ref, out_ref, x_scr, prev_scr = (refs[-4], refs[-3], refs[-2],
+                                            refs[-1])
+        op_refs = refs[:-4]
 
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
             x_scr[:] = x0_ref[:]
+            prev_scr[:] = jnp.zeros_like(prev_scr)
 
         def op(name):
             return op_refs[idx[name]][...]
@@ -357,7 +386,9 @@ def _make_kernel(names, n_steps: int, dtype):
 
         x = x_scr[:]
         eps = _unet_step(x.astype(dtype), op, temb_row, dtype, roll)
-        x_new = coefs_ref[i, 0] * x + coefs_ref[i, 1] * eps
+        x_new = (coefs_ref[i, 0] * x + coefs_ref[i, 1] * eps
+                 + coefs_ref[i, 2] * prev_scr[:])
+        prev_scr[:] = coefs_ref[i, 3] * x + coefs_ref[i, 4] * eps
         x_scr[:] = x_new
         out_ref[:] = x_new
 
@@ -388,7 +419,8 @@ def fused_ddim_sample(operands: list, names: list, z_t: jax.Array,
         out_specs=pl.BlockSpec(x0.shape, lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x0.shape, jnp.float32),
-        scratch_shapes=[pltpu.VMEM(x0.shape, jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(x0.shape, jnp.float32),   # x carry
+                        pltpu.VMEM(x0.shape, jnp.float32)],  # prev_x0 (2M)
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
@@ -406,9 +438,11 @@ def reference_ddim_sample(operands: list, names: list, z_t: jax.Array,
     temb, coefs = operands[idx["temb"]], operands[idx["coefs"]]
     op = lambda n: operands[idx[n]]
     roll = lambda a, s: jnp.roll(a, s, axis=0)
+    prev = jnp.zeros_like(x)
     for i in range(n_steps):
         eps = _unet_step(x.astype(dtype), op, temb[i], dtype, roll)
-        x = coefs[i, 0] * x + coefs[i, 1] * eps
+        x, prev = (coefs[i, 0] * x + coefs[i, 1] * eps + coefs[i, 2] * prev,
+                   coefs[i, 3] * x + coefs[i, 4] * eps)
     return x.reshape(shape)
 
 
@@ -418,9 +452,11 @@ def reference_ddim_sample(operands: list, names: list, z_t: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("model", "num_timesteps",
-                                             "eta", "interpret"))
+                                             "eta", "interpret", "sampler",
+                                             "steps"))
 def _fused_transfer_impl(model, variables, key, content_spec, style_spec,
-                         num_timesteps, eta, interpret):
+                         num_timesteps, eta, interpret, sampler="ddim",
+                         steps=None):
     from music_style_transfer_ldm_tpu.models.ldm import LDM
     sched = model.schedule
     z_0 = model.apply(variables, content_spec.astype(jnp.float32),
@@ -429,9 +465,10 @@ def _fused_transfer_impl(model, variables, key, content_spec, style_spec,
     z_t, _ = sched.q_sample(key, z_0, t)
     emb = model.apply(variables, style_spec.astype(jnp.float32),
                       method=LDM.style_embed)
-    times = transfer_time_grid(num_timesteps)
+    times = transfer_time_grid(num_timesteps, steps)
     ops, names = pack_operands(variables["params"]["unet"], emb, sched,
-                               times, eta, dtype=model.dtype)
+                               times, eta, dtype=model.dtype,
+                               sampler=sampler)
     sampled = fused_ddim_sample(ops, names, z_t, len(times) - 1,
                                 dtype=model.dtype, interpret=interpret)
     decoded = model.apply(variables, sampled, method=LDM.decode)
@@ -439,9 +476,9 @@ def _fused_transfer_impl(model, variables, key, content_spec, style_spec,
 
 
 @functools.partial(jax.jit, static_argnames=("model", "z_shape", "timesteps",
-                                              "eta", "interpret"))
+                                              "eta", "interpret", "sampler"))
 def _fused_generate_impl(model, variables, key, z_shape, style_spec,
-                         timesteps, eta, interpret):
+                         timesteps, eta, interpret, sampler="ddim"):
     from music_style_transfer_ldm_tpu.models.ldm import LDM
     sched = model.schedule
     z_t = jax.random.normal(key, z_shape, jnp.float32)
@@ -449,7 +486,8 @@ def _fused_generate_impl(model, variables, key, z_shape, style_spec,
                       method=LDM.style_embed)
     times = generation_time_grid(model.num_timesteps, timesteps)
     ops, names = pack_operands(variables["params"]["unet"], emb, sched,
-                               times, eta, dtype=model.dtype)
+                               times, eta, dtype=model.dtype,
+                               sampler=sampler)
     sampled = fused_ddim_sample(ops, names, z_t, len(times) - 1,
                                 dtype=model.dtype, interpret=interpret)
     decoded = model.apply(variables, sampled, method=LDM.decode)
@@ -459,10 +497,12 @@ def _fused_generate_impl(model, variables, key, z_shape, style_spec,
 def fused_style_sample(model, variables, key: jax.Array,
                        z_shape: Tuple[int, ...], style_spec: jax.Array,
                        timesteps: int = 100, eta: float = 0.0,
-                       interpret: bool | None = None) -> jax.Array:
+                       interpret: bool | None = None,
+                       sampler: str = "ddim") -> jax.Array:
     """Batch-1 style-conditioned generation from pure noise with the fused
     trajectory kernel — same grid and update as models.ldm
-    style_ddim_sample (ref: model.py:382-465)."""
+    style_ddim_sample (ref: model.py:382-465).  sampler='dpm++' runs the
+    DPM-Solver++(2M) update on the same grid."""
     if z_shape[0] != 1:
         raise ValueError("fused sampler is the batch-1 latency path; "
                          f"got batch {z_shape[0]}")
@@ -470,17 +510,22 @@ def fused_style_sample(model, variables, key: jax.Array,
         interpret = jax.default_backend() == "cpu"
     return _fused_generate_impl(model, variables, key, tuple(z_shape),
                                 style_spec.astype(jnp.float32),
-                                int(timesteps), float(eta), bool(interpret))
+                                int(timesteps), float(eta), bool(interpret),
+                                sampler)
 
 
 def fused_content_style_transfer(model, variables, key: jax.Array,
                                  content_spec: jax.Array,
                                  style_spec: jax.Array,
                                  num_timesteps: int = 50, eta: float = 0.0,
-                                 interpret: bool | None = None) -> jax.Array:
-    """Batch-1 SDEdit transfer with the whole DDIM walk as one Pallas
-    kernel.  Same trajectory as models.ldm.content_style_transfer
-    (sampler='ddim'); returns decoded images in [0, 1]."""
+                                 interpret: bool | None = None,
+                                 sampler: str = "ddim",
+                                 steps: int | None = None) -> jax.Array:
+    """Batch-1 SDEdit transfer with the whole trajectory as one Pallas
+    kernel.  Same trajectory as models.ldm.content_style_transfer;
+    sampler='dpm++' with steps < num_timesteps walks the coarse
+    DPM-Solver++(2M) grid (~2x fewer denoiser evaluations).  Returns
+    decoded images in [0, 1]."""
     if content_spec.shape[0] != 1:
         raise ValueError("fused sampler is the batch-1 latency path; "
                          f"got batch {content_spec.shape[0]}")
@@ -490,4 +535,5 @@ def fused_content_style_transfer(model, variables, key: jax.Array,
                                 content_spec.astype(jnp.float32),
                                 style_spec.astype(jnp.float32),
                                 int(num_timesteps), float(eta),
-                                bool(interpret))
+                                bool(interpret), sampler,
+                                None if steps is None else int(steps))

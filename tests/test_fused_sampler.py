@@ -112,6 +112,24 @@ def test_generation_parity(setup):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_dpm_parity(setup):
+    """Fused DPM-Solver++(2M) (x <- A x + B eps + C prev_x0 folding)
+    matches the scan implementation (diffusion/dpm.py), full + coarse
+    grid."""
+    model, variables, x, s = setup
+    key = jax.random.PRNGKey(17)
+    for steps in (None, 7):
+        ref, _, _ = content_style_transfer(model, variables, key, x, s,
+                                           num_timesteps=14,
+                                           sampler="dpm++", steps=steps)
+        out = fused_content_style_transfer(model, variables, key, x, s,
+                                           num_timesteps=14,
+                                           sampler="dpm++", steps=steps,
+                                           interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
+
+
 def test_batch_guard(setup):
     model, variables, x, s = setup
     x2 = jnp.concatenate([x, x], axis=0)
