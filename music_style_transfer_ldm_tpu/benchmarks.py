@@ -190,15 +190,33 @@ def main() -> None:
             lambda i, z: ddim_sample(fn, sched, z, jnp.asarray(times),
                                      eta=0.0)[0], z)
 
-    fused_s, _ = timed(chain_fused, z0, warmup=15)
-    step_ms = max(fused_s - floor_s, 1e-9) / n_chain / n_steps * 1000.0
-    log(f"fused Pallas trajectory kernel x{n_chain} chained: "
-        f"{fused_s*1000:.1f} ms -> {step_ms:.4f} ms/step device time")
-    scan_s, _ = timed(chain_scan, z0, warmup=15)
-    scan_step_ms = max(scan_s - floor_s, 1e-9) / n_chain / n_steps * 1000.0
-    log(f"lax.scan sampler x{n_chain} chained: {scan_s*1000:.1f} ms -> "
-        f"{scan_step_ms:.4f} ms/step device time "
-        f"(fused kernel speedup {scan_step_ms/step_ms:.2f}x)")
+    # Every section after the client-latency measurement is guarded: a
+    # relay hiccup or compile failure in one metric must not cost the
+    # driver its headline JSON line.
+    scan_step_ms = None
+    try:
+        scan_s, _ = timed(chain_scan, z0, warmup=15)
+        scan_step_ms = (max(scan_s - floor_s, 1e-9) / n_chain / n_steps
+                        * 1000.0)
+        log(f"lax.scan sampler x{n_chain} chained: {scan_s*1000:.1f} ms -> "
+            f"{scan_step_ms:.4f} ms/step device time")
+    except Exception as e:  # noqa: BLE001
+        log(f"scan chain failed: {e!r}")
+    step_ms, step_source = None, "fused pallas trajectory kernel (ops/pallas)"
+    try:
+        fused_s, _ = timed(chain_fused, z0, warmup=15)
+        step_ms = max(fused_s - floor_s, 1e-9) / n_chain / n_steps * 1000.0
+        log(f"fused Pallas trajectory kernel x{n_chain} chained: "
+            f"{fused_s*1000:.1f} ms -> {step_ms:.4f} ms/step device time"
+            + (f" (speedup {scan_step_ms/step_ms:.2f}x over scan)"
+               if scan_step_ms else ""))
+    except Exception as e:  # noqa: BLE001
+        log(f"fused chain failed: {e!r}")
+    if step_ms is None and scan_step_ms is not None:
+        step_ms, step_source = scan_step_ms, "lax.scan sampler (fallback)"
+    if step_ms is None:  # last resort: relay-bound single call
+        step_ms = total_s / n_steps * 1000.0
+        step_source = "single-call client latency / steps (relay-bound)"
 
     # ---- secondary: DPM-Solver++(2M) on a half-coarse grid ---------------
     def transfer_dpm(content, style):
@@ -208,10 +226,14 @@ def main() -> None:
             steps=steps // 2)
         return decoded
 
-    dpm_s, _ = timed(jax.jit(transfer_dpm), content, style)
-    log(f"dpm++ {steps // 2}-step transfer (equal-accuracy coarse grid): "
-        f"{dpm_s*1000:.1f} ms total ({total_s / dpm_s:.2f}x vs 50-step "
-        f"ddim)")
+    dpm_s = None
+    try:
+        dpm_s, _ = timed(jax.jit(transfer_dpm), content, style)
+        log(f"dpm++ {steps // 2}-step transfer (equal-accuracy coarse "
+            f"grid): {dpm_s*1000:.1f} ms total ({total_s / dpm_s:.2f}x vs "
+            f"50-step ddim)")
+    except Exception as e:  # noqa: BLE001
+        log(f"dpm++ section failed: {e!r}")
 
     # ---- secondary: 10 s clip end-to-end (4 x 3 s chunks as one batch) ----
     sr = cfg.audio.sample_rate
@@ -233,10 +255,13 @@ def main() -> None:
                              nnls_iters=64, length=3 * sr)
         return audio
 
-    e2e_jit = jax.jit(end_to_end)
-    e2e_s, audio = timed(e2e_jit, jnp.asarray(clip), style4, repeats=3)
-    log(f"10s clip end-to-end (mel->encode->50-step DDIM->decode->GL): "
-        f"{e2e_s:.3f} s (target < 5 s); audio {audio.shape}")
+    try:
+        e2e_jit = jax.jit(end_to_end)
+        e2e_s, audio = timed(e2e_jit, jnp.asarray(clip), style4, repeats=3)
+        log(f"10s clip end-to-end (mel->encode->50-step DDIM->decode->GL): "
+            f"{e2e_s:.3f} s (target < 5 s); audio {audio.shape}")
+    except Exception as e:  # noqa: BLE001
+        log(f"end-to-end section failed: {e!r}")
 
     # ---- secondary: batched serving throughput + MFU ---------------------
     peak = _peak_flops_per_sec(jax.devices()[0])
@@ -254,14 +279,19 @@ def main() -> None:
             return transfer(c, jnp.roll(style64, i, axis=0))
         return jax.lax.fori_loop(0, n_b64, body, c)
 
-    b64_s, _ = timed(chain_b64, content64, repeats=3, warmup=5)
-    thr_s = max(b64_s - floor_s, 1e-9) / n_b64
-    transfer_flops = _flops(transfer_jit, content64, style64)
-    transfer_mfu = _mfu(transfer_flops, thr_s, peak)
-    log(f"batch-64 transfer throughput (x{n_b64} chained, device time): "
-        f"{64 / thr_s:.0f} clips/s ({thr_s * 1000:.1f} ms/batch), "
-        f"{(transfer_flops or 0) / 1e9:.1f} GFLOP"
-        + (f", MFU {transfer_mfu:.1%}" if transfer_mfu is not None else ""))
+    thr_s = transfer_flops = transfer_mfu = None
+    try:
+        b64_s, _ = timed(chain_b64, content64, repeats=3, warmup=5)
+        thr_s = max(b64_s - floor_s, 1e-9) / n_b64
+        transfer_flops = _flops(transfer_jit, content64, style64)
+        transfer_mfu = _mfu(transfer_flops, thr_s, peak)
+        log(f"batch-64 transfer throughput (x{n_b64} chained, device "
+            f"time): {64 / thr_s:.0f} clips/s ({thr_s * 1000:.1f} "
+            f"ms/batch), {(transfer_flops or 0) / 1e9:.1f} GFLOP"
+            + (f", MFU {transfer_mfu:.1%}" if transfer_mfu is not None
+               else ""))
+    except Exception as e:  # noqa: BLE001
+        log(f"batch-64 section failed: {e!r}")
 
     # ---- secondary: batch-128 LDM train step (reference recipe) + MFU ----
     from music_style_transfer_ldm_tpu.training import LDMTrainer
@@ -274,39 +304,44 @@ def main() -> None:
     # dead-code-eliminates it when metrics are dropped, and the measured
     # "step" silently loses ~2/3 of its FLOPs.)
     import dataclasses as _dc
-    bench_cfg = _dc.replace(cfg)
-    bench_cfg.train = _dc.replace(cfg.train, style_loss_stop_gradient=False)
-    trainer = LDMTrainer(bench_cfg)
-    state = trainer.init_state(0)
-    fparams = trainer._feature_params()
-    c128 = jnp.tile(content, (128, 1, 1, 1))
-    s128 = jnp.tile(style, (128, 1, 1, 1))
-    key = jax.random.PRNGKey(9)
-    train_flops = _flops(trainer._train_step, state, c128, s128, key, fparams)
-    n_train = 1 if on_cpu else 16
+    train_s = train_flops = train_mfu = None
+    try:
+        bench_cfg = _dc.replace(cfg)
+        bench_cfg.train = _dc.replace(cfg.train,
+                                      style_loss_stop_gradient=False)
+        trainer = LDMTrainer(bench_cfg)
+        state = trainer.init_state(0)
+        fparams = trainer._feature_params()
+        c128 = jnp.tile(content, (128, 1, 1, 1))
+        s128 = jnp.tile(style, (128, 1, 1, 1))
+        key = jax.random.PRNGKey(9)
+        train_flops = _flops(trainer._train_step, state, c128, s128, key,
+                             fparams)
+        n_train = 1 if on_cpu else 16
 
-    @jax.jit
-    def chain_train(st):
-        # Dependent chain: each step consumes the previous step's state.
-        # Rotate the batches per iteration — with a constant batch XLA
-        # hoists the loop-invariant perceptual-feature branches (the style
-        # image's VGGish forward, the content's LPIPS forward) out of the
-        # loop, and the amortized step time comes out impossibly fast
-        # (>100% MFU was observed).
-        def body(i, st):
-            return trainer._step(st, jnp.roll(c128, i, axis=0),
-                                 jnp.roll(s128, i, axis=0),
-                                 jax.random.fold_in(key, i), fparams)[0]
-        return jax.lax.fori_loop(0, n_train, body, st)
+        @jax.jit
+        def chain_train(st):
+            # Dependent chain: each step consumes the previous step's
+            # state.  Rotate the batches per iteration — with a constant
+            # batch XLA hoists the loop-invariant perceptual-feature
+            # branches out of the loop and the amortized step time comes
+            # out impossibly fast (>100% MFU was observed).
+            def body(i, st):
+                return trainer._step(st, jnp.roll(c128, i, axis=0),
+                                     jnp.roll(s128, i, axis=0),
+                                     jax.random.fold_in(key, i), fparams)[0]
+            return jax.lax.fori_loop(0, n_train, body, st)
 
-    tr_s, state = timed(chain_train, state, repeats=4, warmup=8)
-    train_s = max(tr_s - floor_s, 1e-9) / n_train
-    train_mfu = _mfu(train_flops, train_s, peak)
-    log(f"batch-128 train step (x{n_train} chained, device time): "
-        f"{train_s * 1000:.1f} ms, "
-        f"{(train_flops or 0) / 1e9:.1f} GFLOP"
-        + (f", MFU {train_mfu:.1%}" if train_mfu is not None else "")
-        + f" ({128 / train_s:.0f} samples/s)")
+        tr_s, state = timed(chain_train, state, repeats=4, warmup=8)
+        train_s = max(tr_s - floor_s, 1e-9) / n_train
+        train_mfu = _mfu(train_flops, train_s, peak)
+        log(f"batch-128 train step (x{n_train} chained, device time): "
+            f"{train_s * 1000:.1f} ms, "
+            f"{(train_flops or 0) / 1e9:.1f} GFLOP"
+            + (f", MFU {train_mfu:.1%}" if train_mfu is not None else "")
+            + f" ({128 / train_s:.0f} samples/s)")
+    except Exception as e:  # noqa: BLE001
+        log(f"train-step section failed: {e!r}")
 
     baseline_ms = 50.0  # BASELINE.md north-star: < 50 ms/DDIM step
     print(json.dumps({
@@ -317,19 +352,23 @@ def main() -> None:
         "methodology": ("device time, N chained trajectories in one "
                         "dispatch minus sync floor; round-1 value (0.576) "
                         "was bound by the ~27 ms relay round trip"),
-        "sampler": "fused pallas trajectory kernel (ops/pallas)",
-        "scan_step_ms": round(scan_step_ms, 4),
+        "sampler": step_source,
+        "scan_step_ms": (round(scan_step_ms, 4)
+                         if scan_step_ms is not None else None),
         "client_latency_50step_ms": round(total_s * 1000, 2),
         "sync_floor_ms": round(floor_s * 1000, 2),
         "chip": str(getattr(jax.devices()[0], "device_kind", "unknown")),
         "chip_peak_tflops": (round(peak / 1e12) if peak else None),
-        "transfer_dpm_halfgrid_ms": round(dpm_s * 1000, 2),
-        "transfer_b64_ms": round(thr_s * 1000, 2),
+        "transfer_dpm_halfgrid_ms": (round(dpm_s * 1000, 2)
+                                     if dpm_s is not None else None),
+        "transfer_b64_ms": (round(thr_s * 1000, 2)
+                            if thr_s is not None else None),
         "transfer_b64_gflop": (round(transfer_flops / 1e9, 2)
                                if transfer_flops else None),
         "mfu_transfer_b64": (round(transfer_mfu, 4)
                              if transfer_mfu is not None else None),
-        "train_b128_step_ms": round(train_s * 1000, 2),
+        "train_b128_step_ms": (round(train_s * 1000, 2)
+                               if train_s is not None else None),
         "train_b128_gflop": (round(train_flops / 1e9, 2)
                              if train_flops else None),
         "mfu_train_b128": (round(train_mfu, 4)
