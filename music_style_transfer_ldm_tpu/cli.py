@@ -267,7 +267,8 @@ def cmd_serve(args) -> int:
         EngineConfig, InferenceEngine, serve,
     )
     cfg = default_config()
-    ecfg = EngineConfig(steps=args.steps,
+    ecfg = EngineConfig(steps=args.steps, sampler=args.sampler,
+                        sample_steps=args.sample_steps,
                         batch_buckets=tuple(args.buckets),
                         max_wait_ms=args.max_wait_ms,
                         autoscale=args.autoscale)
@@ -415,6 +416,12 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8787)
     sv.add_argument("--steps", type=int, default=50)
+    sv.add_argument("--sampler", choices=["ddim", "dpm++", "fused"],
+                    default="ddim",
+                    help="'fused' runs the Pallas trajectory kernel on the "
+                         "batch-1 bucket")
+    sv.add_argument("--sample-steps", type=int, default=None,
+                    help="coarse sampler grid (< --steps noising depth)")
     sv.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4, 8])
     sv.add_argument("--max-wait-ms", type=float, default=5.0)
     sv.add_argument("--auth-token", default=None,

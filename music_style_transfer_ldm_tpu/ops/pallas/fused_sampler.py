@@ -462,7 +462,15 @@ def _fused_transfer_impl(model, variables, key, content_spec, style_spec,
     z_0 = model.apply(variables, content_spec.astype(jnp.float32),
                       method=LDM.encode).astype(jnp.float32)
     t = jnp.full((content_spec.shape[0],), num_timesteps - 1, jnp.int32)
-    z_t, _ = sched.q_sample(key, z_0, t)
+    if key.ndim > 1:
+        # Per-item keys [B, 2]: same noise stream as the scan path
+        # (models/ldm.py _transfer_impl), so a request's partial noising is
+        # reproducible in its own seed across samplers.
+        eps = jax.vmap(
+            lambda k, z: jax.random.normal(k, z.shape, jnp.float32))(key, z_0)
+        z_t = sched.q_sample_with_noise(z_0, t, eps)
+    else:
+        z_t, _ = sched.q_sample(key, z_0, t)
     emb = model.apply(variables, style_spec.astype(jnp.float32),
                       method=LDM.style_embed)
     times = transfer_time_grid(num_timesteps, steps)

@@ -32,9 +32,12 @@ import numpy as np
 class EngineConfig:
     steps: int = 50
     eta: float = 0.0
-    # 'ddim' (reference parity) or 'dpm++' (DPM-Solver++(2M)); with
-    # 'dpm++', sample_steps < steps walks a coarse grid — same ODE
-    # accuracy with ~half the denoiser evaluations (diffusion/dpm.py).
+    # 'ddim' (reference parity), 'dpm++' (DPM-Solver++(2M); with
+    # sample_steps < steps it walks a coarse grid — same ODE accuracy with
+    # ~half the denoiser evaluations, diffusion/dpm.py), or 'fused' (the
+    # whole-trajectory Pallas kernel on the batch-1 bucket, ~2x device
+    # latency; bigger buckets fall back to the batched ddim scan, same
+    # per-seed noise stream, results equal to bf16 tolerance).
     sampler: str = "ddim"
     sample_steps: Optional[int] = None
     batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
@@ -87,10 +90,24 @@ class InferenceEngine:
             # keys: per-item PRNG keys [B, 2] — each request's result is
             # deterministic in its own seed regardless of how requests were
             # coalesced into batches.
-            decoded, _, _ = content_style_transfer(
-                self.model, self.variables, keys, content, style,
-                num_timesteps=cfg.steps, eta=cfg.eta, sampler=cfg.sampler,
-                steps=cfg.sample_steps)
+            if cfg.sampler == "fused" and content.shape[0] == 1:
+                # Fused Pallas trajectory kernel on the single-request
+                # bucket (~2x device latency win); bigger buckets ride the
+                # batched scan sampler.  The partial-noising stream is the
+                # per-item one, so the only cross-bucket difference for a
+                # given seed is the bf16 trajectory tolerance (~3e-4).
+                from music_style_transfer_ldm_tpu.ops.pallas.fused_sampler \
+                    import fused_content_style_transfer
+                decoded = fused_content_style_transfer(
+                    self.model, self.variables, keys, content, style,
+                    num_timesteps=cfg.steps, eta=cfg.eta,
+                    steps=cfg.sample_steps)
+            else:
+                sampler = "ddim" if cfg.sampler == "fused" else cfg.sampler
+                decoded, _, _ = content_style_transfer(
+                    self.model, self.variables, keys, content, style,
+                    num_timesteps=cfg.steps, eta=cfg.eta, sampler=sampler,
+                    steps=cfg.sample_steps)
             out = {"image": decoded}
             if cfg.invert_audio:
                 from music_style_transfer_ldm_tpu.audio.mel import db_to_power

@@ -321,6 +321,34 @@ def test_bucket_autoscaling(engine):
     assert 16 not in eng._warm_buckets and 16 not in eng._warming
 
 
+def test_engine_fused_sampler(rng):
+    """EngineConfig(sampler='fused'): batch-1 bucket runs the fused
+    trajectory kernel; results match the ddim engine for the same seed,
+    and bigger buckets fall back to the batched scan."""
+    model = LDM(latent_dim=32, num_timesteps=20)
+    x = jnp.zeros((1, 128, 128, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        x, x, jnp.zeros((1,), jnp.int32))
+    content = rng.rand(1, 128, 128, 1).astype(np.float32)
+    style = rng.rand(1, 128, 128, 1).astype(np.float32)
+    kw = dict(steps=10, batch_buckets=(1, 2), griffin_lim_iters=2,
+              nnls_iters=4, invert_audio=False)
+    fused = InferenceEngine(model, variables,
+                            EngineConfig(sampler="fused", **kw))
+    ddim = InferenceEngine(model, variables,
+                           EngineConfig(sampler="ddim", **kw))
+    out_f = fused.transfer_batch(content, style, seeds=7)
+    out_d = ddim.transfer_batch(content, style, seeds=7)
+    assert out_f["image"].shape == (1, 128, 128, 1)
+    np.testing.assert_allclose(out_f["image"], out_d["image"], atol=1e-4)
+    # batch 2 -> scan fallback, still well-formed
+    out2 = fused.transfer_batch(np.repeat(content, 2, 0),
+                                np.repeat(style, 2, 0), seeds=[1, 2])
+    assert out2["image"].shape == (2, 128, 128, 1)
+    assert np.isfinite(out2["image"]).all()
+
+
 def test_engine_dpm_sampler(rng):
     """EngineConfig(sampler='dpm++', sample_steps=...) end to end."""
     model = LDM(latent_dim=32, num_timesteps=20)
