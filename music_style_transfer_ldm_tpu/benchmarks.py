@@ -25,6 +25,7 @@ latency, batch-64 throughput + MFU, batch-128 train step + MFU.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -137,6 +138,20 @@ def main() -> None:
     steps = 50
     n_steps = steps - 1
     on_cpu = jax.default_backend() == "cpu"
+    # Wall budget for the secondary sections: on a cold compile cache every
+    # graph goes through the remote-compile tunnel (minutes each); once the
+    # budget is spent, remaining secondary metrics are skipped so the run
+    # always finishes and prints its headline JSON.
+    t_bench_start = time.time()
+    budget_s = float(os.environ.get("MSTLDM_BENCH_BUDGET_S", "1500"))
+
+    def over_budget(section: str) -> bool:
+        spent = time.time() - t_bench_start
+        if spent > budget_s:
+            log(f"skipping {section}: {spent:.0f}s elapsed > "
+                f"{budget_s:.0f}s budget (cold-cache protection)")
+            return True
+        return False
     # Chain lengths: long enough that device compute dominates the ~2 ms
     # relay RTT jitter (the floor subtraction is min-of-noisy-samples, so
     # short chains can apparently exceed peak FLOP/s).
@@ -228,6 +243,8 @@ def main() -> None:
 
     dpm_s = None
     try:
+        if over_budget("dpm++ section"):
+            raise TimeoutError("budget")
         dpm_s, _ = timed(jax.jit(transfer_dpm), content, style)
         log(f"dpm++ {steps // 2}-step transfer (equal-accuracy coarse "
             f"grid): {dpm_s*1000:.1f} ms total ({total_s / dpm_s:.2f}x vs "
@@ -256,6 +273,8 @@ def main() -> None:
         return audio
 
     try:
+        if over_budget("end-to-end section"):
+            raise TimeoutError("budget")
         e2e_jit = jax.jit(end_to_end)
         e2e_s, audio = timed(e2e_jit, jnp.asarray(clip), style4, repeats=3)
         log(f"10s clip end-to-end (mel->encode->50-step DDIM->decode->GL): "
@@ -281,6 +300,8 @@ def main() -> None:
 
     thr_s = transfer_flops = transfer_mfu = None
     try:
+        if over_budget("batch-64 section"):
+            raise TimeoutError("budget")
         b64_s, _ = timed(chain_b64, content64, repeats=3, warmup=5)
         thr_s = max(b64_s - floor_s, 1e-9) / n_b64
         transfer_flops = _flops(transfer_jit, content64, style64)
@@ -306,6 +327,8 @@ def main() -> None:
     import dataclasses as _dc
     train_s = train_flops = train_mfu = None
     try:
+        if over_budget("train-step section"):
+            raise TimeoutError("budget")
         bench_cfg = _dc.replace(cfg)
         bench_cfg.train = _dc.replace(cfg.train,
                                       style_loss_stop_gradient=False)
