@@ -170,7 +170,7 @@ def main() -> None:
 
     # ---- relay sync floor: a no-op readback ------------------------------
     floor_s, _ = timed(jax.jit(lambda a: a.sum()), content, repeats=10,
-                       warmup=10)
+                       warmup=25)
     log(f"sync floor (jit(sum) + readback): {floor_s*1000:.2f} ms")
 
     # ---- headline: device-amortized step time, chained trajectories ------
@@ -210,7 +210,7 @@ def main() -> None:
     # driver its headline JSON line.
     scan_step_ms = None
     try:
-        scan_s, _ = timed(chain_scan, z0, warmup=15)
+        scan_s, _ = timed(chain_scan, z0, warmup=25)
         scan_step_ms = (max(scan_s - floor_s, 1e-9) / n_chain / n_steps
                         * 1000.0)
         log(f"lax.scan sampler x{n_chain} chained: {scan_s*1000:.1f} ms -> "
@@ -219,7 +219,7 @@ def main() -> None:
         log(f"scan chain failed: {e!r}")
     step_ms, step_source = None, "fused pallas trajectory kernel (ops/pallas)"
     try:
-        fused_s, _ = timed(chain_fused, z0, warmup=15)
+        fused_s, _ = timed(chain_fused, z0, warmup=25)
         step_ms = max(fused_s - floor_s, 1e-9) / n_chain / n_steps * 1000.0
         log(f"fused Pallas trajectory kernel x{n_chain} chained: "
             f"{fused_s*1000:.1f} ms -> {step_ms:.4f} ms/step device time"
@@ -302,7 +302,7 @@ def main() -> None:
     try:
         if over_budget("batch-64 section"):
             raise TimeoutError("budget")
-        b64_s, _ = timed(chain_b64, content64, repeats=3, warmup=5)
+        b64_s, _ = timed(chain_b64, content64, repeats=3, warmup=25)
         thr_s = max(b64_s - floor_s, 1e-9) / n_b64
         transfer_flops = _flops(transfer_jit, content64, style64)
         transfer_mfu = _mfu(transfer_flops, thr_s, peak)
@@ -355,7 +355,7 @@ def main() -> None:
                                      jax.random.fold_in(key, i), fparams)[0]
             return jax.lax.fori_loop(0, n_train, body, st)
 
-        tr_s, state = timed(chain_train, state, repeats=4, warmup=8)
+        tr_s, state = timed(chain_train, state, repeats=4, warmup=25)
         train_s = max(tr_s - floor_s, 1e-9) / n_train
         train_mfu = _mfu(train_flops, train_s, peak)
         log(f"batch-128 train step (x{n_train} chained, device time): "

@@ -191,7 +191,8 @@ def cmd_transfer(args) -> int:
             fused_content_style_transfer(
                 model, variables, jax.random.PRNGKey(args.seed + i),
                 content[i:i + 1], style[i:i + 1],
-                num_timesteps=args.steps, eta=args.eta)
+                num_timesteps=args.steps, eta=args.eta,
+                steps=args.sample_steps)
             for i in range(content.shape[0])], axis=0)
     else:
         decoded, _, _ = content_style_transfer(

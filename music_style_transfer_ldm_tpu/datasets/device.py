@@ -57,13 +57,24 @@ class DeviceResidentPairs:
         return len(self.pairs)
 
     def gather_pairs(self, indices, dtype: str = "uint8"):
-        """Device-side batch gather -> (content, style) u8 jax arrays."""
+        """Device-side batch gather -> (content, style) jax arrays.
+
+        dtype='uint8' (default, the trainers normalize on device) returns
+        raw [0, 255]; any float dtype returns [0, 1] — same contract as
+        PackedSpectrogramDataset.gather / PackedPairDataset.gather_pairs,
+        so drop-in consumers (e.g. PackedBatchLoader's pair mode, which
+        defaults to float32) get unit-scaled values, not raw bytes.
+        """
         import jax.numpy as jnp
         idx = np.asarray(indices, np.int64)
         content = jnp.take(self.images, jnp.asarray(self._content_idx[idx]),
                            axis=0)
         style = jnp.take(self.images, jnp.asarray(self._style_idx[idx]),
                          axis=0)
+        if dtype != "uint8":
+            scale = jnp.asarray(1.0 / 255.0, dtype)
+            content = content.astype(dtype) * scale
+            style = style.astype(dtype) * scale
         return content, style
 
 

@@ -40,7 +40,13 @@ def transfer_time_grid(num_timesteps: int,
 
     steps < N subsamples the grid (linspace) — the reference always walks
     every step; a coarse grid pairs with higher-order samplers
-    (diffusion/dpm.py) for fewer denoiser evaluations."""
+    (diffusion/dpm.py) for fewer denoiser evaluations.  steps > N is
+    rejected: flooring more linspace points than integers in the range
+    guarantees duplicate consecutive timesteps, which are harmless for
+    DDIM but divide by a zero log-SNR step (NaN) in DPM-Solver++."""
+    if steps is not None and steps > num_timesteps:
+        raise ValueError(f"steps={steps} > num_timesteps={num_timesteps}: "
+                         "the grid would contain duplicate timesteps")
     return np.linspace(num_timesteps - 1, 0,
                        steps or num_timesteps).astype(np.int32)
 

@@ -36,6 +36,13 @@ def dpm_solver_pp_2m(denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],
     with r_i = h_{i-1}/h_i and the exact exponential update
     x_{i+1} = (sigma_n/sigma_t) x - alpha_n (e^{-h} - 1) D_i.
     """
+    import numpy as _np
+    t_host = _np.asarray(times)
+    if t_host.ndim == 1 and len(_np.unique(t_host)) != len(t_host):
+        raise ValueError(
+            "duplicate timesteps in the grid: the multistep update divides "
+            "by the log-SNR step h, which is zero across a duplicate pair "
+            "(use steps <= num_timesteps)")
     times = jnp.asarray(times, jnp.int32)
     pairs = jnp.stack([times[:-1], times[1:]], axis=1)  # [S-1, 2]
     batch = x.shape[0]

@@ -191,6 +191,10 @@ def pack_operands(unet_params: Dict[str, Any],
     elif sampler == "dpm++":
         if eta:
             raise ValueError("dpm++ is deterministic; eta must be 0")
+        t_host = np.asarray(times)
+        if len(np.unique(t_host)) != len(t_host):
+            raise ValueError("duplicate timesteps in the grid: zero "
+                             "log-SNR step h (use steps <= num_timesteps)")
         lam = jnp.log(sq_t / s1m_t)
         lam_n = jnp.log(sq_n / s1m_n)
         h = lam_n - lam
@@ -537,6 +541,12 @@ def fused_content_style_transfer(model, variables, key: jax.Array,
     if content_spec.shape[0] != 1:
         raise ValueError("fused sampler is the batch-1 latency path; "
                          f"got batch {content_spec.shape[0]}")
+    if num_timesteps > model.num_timesteps:
+        # Same guard as the scan path (models/ldm.py): without it the
+        # alpha_bar gather would silently clamp to T-1 under jit.
+        raise ValueError(
+            f"num_timesteps={num_timesteps} exceeds the schedule length "
+            f"T={model.num_timesteps}")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     return _fused_transfer_impl(model, variables, key,

@@ -138,7 +138,8 @@ class InferenceEngine:
             out = self._transfer_fn(x, x, keys)
             jax.tree_util.tree_map(
                 lambda a: np.asarray(jax.device_get(a.ravel()[0])), out)
-            self._warm_buckets.add(b)
+            # Rebind (never mutate): concurrent readers iterate snapshots.
+            self._warm_buckets = self._warm_buckets | {b}
 
     # ---------------- synchronous API ---------------------------------------
 
@@ -152,9 +153,10 @@ class InferenceEngine:
         """
         if not self._warm_buckets:
             self.warmup()
+        warm = self._warm_buckets  # snapshot: autoscale rebinds, never mutates
         b = content.shape[0]
         seeds = np.broadcast_to(np.asarray(seeds, np.int64), (b,))
-        max_bucket = max(self._warm_buckets)
+        max_bucket = max(warm)
         if b > max_bucket:
             parts = [self.transfer_batch(content[s:s + max_bucket],
                                          style[s:s + max_bucket],
@@ -162,7 +164,7 @@ class InferenceEngine:
                      for s in range(0, b, max_bucket)]
             return {k: np.concatenate([p[k] for p in parts])
                     for k in parts[0]}
-        bucket = min(k for k in self._warm_buckets if k >= b)
+        bucket = min(k for k in warm if k >= b)
         pad = bucket - b
         # Pad rows cannot affect real rows' outputs: the transfer path runs
         # eval-mode (per-sample BN running stats, per-sample attention/convs,
@@ -242,7 +244,11 @@ class InferenceEngine:
             jax.tree_util.tree_map(
                 lambda a: np.asarray(jax.device_get(a.ravel()[0])), out)
             with self._scale_lock:
-                self._warm_buckets.add(new_b)  # adopted atomically
+                # Rebind a NEW set instead of mutating in place: readers on
+                # the dispatch thread run max()/min() over _warm_buckets
+                # unlocked, and mutating a set mid-iteration raises
+                # RuntimeError there (which would kill the dispatcher).
+                self._warm_buckets = self._warm_buckets | {new_b}
                 self._warming.discard(new_b)
                 self._stats["autoscaled_buckets"] += 1
 

@@ -152,8 +152,6 @@ class AETrainer:
         a capability the reference lacks (save-only)."""
         num_epochs = num_epochs or self.config.train.num_epochs
         out_dir = Path(out_dir)
-        logger = MetricLogger(out_dir / "metrics.csv",
-                              resume=resume_from is not None)
         state = state if state is not None else self.init_state(
             self.config.train.seed)
         start_epoch = 0
@@ -161,6 +159,11 @@ class AETrainer:
             state = ckpt_lib.restore_train_state(resume_from, state)
             # Resume the epoch count from the restored optimizer step.
             start_epoch = int(state.step) // max(len(train_loader), 1)
+        # Drop reloaded rows for epochs this run will replay (see
+        # MetricLogger.truncate_from_epoch).
+        logger = MetricLogger(out_dir / "metrics.csv",
+                              resume=resume_from is not None,
+                              truncate_from_epoch=start_epoch)
         vgg = self.feature.params if self.feature is not None else None
         best_val = float("inf")
 

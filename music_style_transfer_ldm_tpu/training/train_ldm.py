@@ -248,8 +248,6 @@ class LDMTrainer:
         cfg = self.config.train
         num_epochs = num_epochs or cfg.num_epochs
         out_dir = Path(out_dir)
-        logger = MetricLogger(out_dir / "metrics.csv",
-                              resume=resume_from is not None)
         if state is None:
             state = self.init_state(cfg.seed, pretrained_autoencoder)
         start_epoch = 0
@@ -259,6 +257,12 @@ class LDMTrainer:
             # epoch numbering, checkpoint cadence, and the total epoch
             # budget line up across restarts (relay-stall recovery).
             start_epoch = int(state.step) // max(len(train_loader), 1)
+        # truncate_from_epoch: rows the previous process logged past the
+        # restored checkpoint will be re-run — drop them so each epoch
+        # appears once in the CSV/plots.
+        logger = MetricLogger(out_dir / "metrics.csv",
+                              resume=resume_from is not None,
+                              truncate_from_epoch=start_epoch)
         base_key = jax.random.PRNGKey(cfg.seed + 123)
 
         from music_style_transfer_ldm_tpu.utils.profiling import (

@@ -136,3 +136,33 @@ def test_batch_guard(setup):
     with pytest.raises(ValueError, match="batch-1"):
         fused_content_style_transfer(model, variables, jax.random.PRNGKey(0),
                                      x2, x2, num_timesteps=10)
+
+
+def test_schedule_length_guard(setup):
+    """Same T-bound error as the scan path (models/ldm.py:249): without it
+    the alpha_bar gather silently clamps under jit."""
+    model, variables, x, s = setup
+    with pytest.raises(ValueError, match="exceeds the schedule"):
+        fused_content_style_transfer(model, variables, jax.random.PRNGKey(0),
+                                     x, s, num_timesteps=250)
+
+
+def test_dpm_duplicate_grid_rejected(setup):
+    """A grid with duplicate timesteps (steps > num_timesteps) would divide
+    by a zero log-SNR step in the 2M update — both dpm++ layers reject it
+    instead of emitting NaN images."""
+    from music_style_transfer_ldm_tpu.diffusion.ddim import (
+        transfer_time_grid,
+    )
+    from music_style_transfer_ldm_tpu.diffusion.dpm import dpm_solver_pp_2m
+    model, variables, x, s = setup
+    with pytest.raises(ValueError, match="duplicate"):
+        transfer_time_grid(10, 20)
+    dup_grid = np.asarray([9, 7, 7, 4, 0], np.int32)
+    with pytest.raises(ValueError, match="duplicate"):
+        dpm_solver_pp_2m(lambda z, t: z, model.schedule,
+                         jnp.zeros((1, 16, 16, 32)), dup_grid)
+    emb = model.apply(variables, s, method=LDM.style_embed)
+    with pytest.raises(ValueError, match="duplicate"):
+        pack_operands(variables["params"]["unet"], emb, model.schedule,
+                      dup_grid, 0.0, dtype=jnp.float32, sampler="dpm++")

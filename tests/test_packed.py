@@ -227,6 +227,25 @@ def test_device_resident_pairs_match_host_gather(pack_file, tmp_path):
     assert len(list(loader)) == 3
 
 
+def test_device_resident_pairs_honor_float_dtype(pack_file, tmp_path):
+    """gather_pairs(dtype='float32') returns [0,1] floats — same contract
+    as the host gathers (PackedBatchLoader's pair mode defaults to it)."""
+    from music_style_transfer_ldm_tpu.datasets import (
+        DeviceResidentPairs, PackedPairDataset,
+    )
+    path, _, _ = pack_file
+    csv = tmp_path / "pairs.csv"
+    csv.write_text("guitar,0,piano,1\npiano,2,violin,0\n")
+    host = PackedPairDataset(path, csv, use_native=False)
+    dev = DeviceResidentPairs(path, csv)
+    hc, hs = host.gather_pairs(np.asarray([0, 1]), dtype="float32")
+    dc, ds_ = dev.gather_pairs(np.asarray([0, 1]), dtype="float32")
+    assert np.asarray(dc).dtype == np.float32
+    assert float(np.asarray(dc).max()) <= 1.0
+    np.testing.assert_allclose(np.asarray(dc), hc, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ds_), hs, atol=1e-7)
+
+
 def test_device_resident_pairs_feed_train_step(pack_file, tmp_path):
     """An LDM train step consumes device-resident u8 batches directly."""
     import dataclasses

@@ -217,3 +217,27 @@ def test_full_train_drivers_and_resume(tmp_path, rng):
                         out_dir=tmp_path / "ldm3",
                         resume_from=tmp_path / "ldm" / "ldm_final")
     assert int(state3.step) == 2
+
+
+def test_metric_logger_resume_truncates_replayed_epochs(tmp_path):
+    """Checkpoint restarts replay epochs past the restored step; the
+    resumed logger must drop the stale rows so each epoch appears once,
+    and must widen the header instead of crashing when a newer version
+    logs an extra metric key."""
+    from music_style_transfer_ldm_tpu.training.metrics import MetricLogger
+
+    path = tmp_path / "metrics.csv"
+    first = MetricLogger(path)
+    for e in range(6):
+        first.log(epoch=e, loss=float(10 - e))
+
+    # Restart from the epoch-3 checkpoint: epochs 3..5 will be replayed.
+    resumed = MetricLogger(path, resume=True, truncate_from_epoch=3)
+    assert [r["epoch"] for r in resumed.rows] == [0.0, 1.0, 2.0]
+    resumed.log(epoch=3, loss=6.5, lr=1e-4)  # new key 'lr' -> widen header
+    resumed.log(epoch=4, loss=6.0, lr=1e-4)
+
+    reread = MetricLogger(path, resume=True)
+    assert [r["epoch"] for r in reread.rows] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    assert reread.rows[-1]["lr"] == 1e-4
+    assert reread.rows[0]["lr"] == ""  # old rows: empty cell, not a crash
