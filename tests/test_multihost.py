@@ -7,6 +7,7 @@ runs on the virtual 8-device mesh (single process == the degenerate case
 the API must also support).
 """
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -128,3 +129,92 @@ def test_packed_gather_process_slicing(tmp_path):
     np.testing.assert_array_equal(merged[:10], full)
     np.testing.assert_array_equal(merged[10:], np.repeat(full[-1:], 2,
                                                          axis=0))
+
+
+_WORKER = r'''
+"""Two-process jax.distributed worker (REAL multi-process run, Gloo
+collectives between separate CPU processes — not virtual devices)."""
+import os
+import sys
+
+proc_id, n_proc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=2").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=n_proc, process_id=proc_id)
+import dataclasses
+import numpy as np
+import jax.numpy as jnp
+
+sys.path.insert(0, os.environ["MSTLDM_REPO"])
+from music_style_transfer_ldm_tpu.config import default_config
+from music_style_transfer_ldm_tpu.parallel import (
+    global_batch_from_local, make_mesh,
+)
+from music_style_transfer_ldm_tpu.training import AETrainer
+
+devs = jax.devices()
+assert len(devs) == 2 * n_proc, devs
+mesh = make_mesh((len(devs), 1))
+
+# 1) per-process input sharding -> one global array
+local = np.full((4, 8, 8, 1), float(proc_id + 1), np.float32)
+gb = global_batch_from_local(local, mesh)
+assert gb.shape == (4 * n_proc, 8, 8, 1), gb.shape
+m = float(jax.jit(jnp.mean)(gb))
+assert abs(m - 1.5) < 1e-6, m  # mean over both processes' shards
+
+# 2) a REAL data-parallel train step across the two processes
+cfg = default_config()
+cfg.train = dataclasses.replace(cfg.train, compute_dtype="float32")
+cfg.model = dataclasses.replace(cfg.model, image_size=64)
+trainer = AETrainer(cfg, mesh=mesh, perceptual=False)
+state = trainer.init_state(0)
+rng = np.random.RandomState(proc_id)
+x = global_batch_from_local(rng.rand(4, 64, 64, 1).astype(np.float32),
+                            mesh)
+state, loss = trainer._train_step(state, x, None)
+print(f"MH_OK proc={proc_id} mean={m} loss={float(loss):.4f}", flush=True)
+'''
+
+
+def test_two_real_processes_distributed(tmp_path):
+    """Spawn TWO separate python processes, initialize jax.distributed
+    between them (Gloo over localhost), and run per-host input sharding +
+    one data-parallel AE train step spanning both processes' devices.
+
+    This is the multi-host path actually exercised across process
+    boundaries, not simulated on virtual devices (SURVEY §2.6/§5
+    obligation; docs/ROADMAP.md item 3)."""
+    import socket
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    repo = str(Path(__file__).resolve().parent.parent)
+    env = dict(os.environ, MSTLDM_REPO=repo)
+    procs = [subprocess.Popen(
+        [_sys.executable, str(worker), str(i), "2", port],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out.decode())
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
+        assert f"MH_OK proc={i}" in out, out[-2000:]
