@@ -34,7 +34,11 @@ def main() -> int:
     p.add_argument("--pairings", required=True)
     p.add_argument("--n-pairs", type=int, default=8)
     p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--sampler", choices=["ddim", "dpm++"], default="ddim")
+    p.add_argument("--sample-steps", type=int, default=None,
+                   help="coarse sampler grid (pairs with --sampler dpm++)")
     p.add_argument("--out-dir", default="docs/results/fullscale")
+    p.add_argument("--json-name", default="transfer_eval.json")
     args = p.parse_args()
 
     from music_style_transfer_ldm_tpu.utils.cache import (
@@ -69,7 +73,8 @@ def main() -> int:
 
     decoded, _, _ = content_style_transfer(
         model, variables, jax.random.PRNGKey(0), content, style,
-        num_timesteps=args.steps)
+        num_timesteps=args.steps, sampler=args.sampler,
+        steps=args.sample_steps)
     decoded = np.asarray(decoded)
     content_np, style_np = np.asarray(content), np.asarray(style)
 
@@ -91,13 +96,15 @@ def main() -> int:
         "vggish_distance_transfer_vs_style": round(got, 4),
         "vggish_distance_content_vs_style_baseline": round(base, 4),
         "style_distance_reduction_pct": round(100 * (1 - got / base), 1),
+        "sampler": args.sampler,
+        "sample_steps": args.sample_steps,
         "checkpoint": str(args.checkpoint),
     }
     print(json.dumps(results, indent=2), flush=True)
 
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    (out / "transfer_eval.json").write_text(json.dumps(results, indent=2)
+    (out / args.json_name).write_text(json.dumps(results, indent=2)
                                             + "\n")
     try:
         import matplotlib
@@ -116,8 +123,10 @@ def main() -> int:
                 if j == 0:
                     ax.set_title(title, loc="left")
         fig.tight_layout()
-        fig.savefig(out / "transfer_panel.png", dpi=110)
-        print(f"panel -> {out / 'transfer_panel.png'}", flush=True)
+        panel = out / (Path(args.json_name).stem.replace("_eval", "")
+                       + "_panel.png")
+        fig.savefig(panel, dpi=110)
+        print(f"panel -> {panel}", flush=True)
     except Exception as e:  # noqa: BLE001 — plotting is best-effort
         print(f"panel failed: {e}")
     return 0
