@@ -321,6 +321,54 @@ def test_bucket_autoscaling(engine):
     assert 16 not in eng._warm_buckets and 16 not in eng._warming
 
 
+def test_autoscale_under_concurrent_load(rng):
+    """Sustained concurrent submits while autoscale adopts new buckets:
+    every request completes and the dispatcher survives (regression for
+    the in-place _warm_buckets mutation race, which could raise 'set
+    changed size during iteration' inside the dispatch loop and wedge the
+    server)."""
+    import threading
+
+    model = LDM(latent_dim=32, num_timesteps=10)
+    x = jnp.zeros((1, 128, 128, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        x, x, jnp.zeros((1,), jnp.int32))
+    cfg = EngineConfig(steps=4, batch_buckets=(1,), max_wait_ms=1.0,
+                       griffin_lim_iters=2, nnls_iters=4, invert_audio=False,
+                       autoscale=True, autoscale_after=1, max_bucket=4)
+    eng = InferenceEngine(model, variables, cfg)
+    eng.start()
+    try:
+        results, errs = [], []
+
+        def client(n):
+            for i in range(n):
+                d = eng.submit(
+                    rng.rand(128, 128, 1).astype(np.float32),
+                    rng.rand(128, 128, 1).astype(np.float32), seed=i)
+                out = d.get(timeout=120)
+                (errs if isinstance(out, Exception) else results).append(out)
+
+        threads = [threading.Thread(target=client, args=(8,))
+                   for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not any(t.is_alive() for t in threads), "client hung"
+        assert not errs, errs[:1]
+        assert len(results) == 32
+        for o in results:
+            assert o["image"].shape == (128, 128, 1)
+        # the dispatcher thread must still be alive and responsive
+        d = eng.submit(rng.rand(128, 128, 1).astype(np.float32),
+                       rng.rand(128, 128, 1).astype(np.float32))
+        assert not isinstance(d.get(timeout=120), Exception)
+    finally:
+        eng.stop()
+
+
 def test_engine_fused_sampler(rng):
     """EngineConfig(sampler='fused'): batch-1 bucket runs the fused
     trajectory kernel; results match the ddim engine for the same seed,
