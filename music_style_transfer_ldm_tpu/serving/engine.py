@@ -52,7 +52,7 @@ class EngineConfig:
     # existing buckets) and adopted once warm, up to max_bucket.
     autoscale: bool = False
     autoscale_after: int = 4
-    max_bucket: int = 64
+    max_bucket: int = 128
 
 
 class InferenceEngine:
