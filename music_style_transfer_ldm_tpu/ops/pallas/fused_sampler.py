@@ -152,6 +152,17 @@ def pack_operands(unet_params: Dict[str, Any],
     pack + kernel call can live under one jit.  Returns (operands, names);
     names index the list inside the kernel via _op_index.
     """
+    # The kernel's selection matrices and layer plan are built for the
+    # flagship geometry (16x16x32 latent, num_filters=64); reject other
+    # widths with a clear message instead of an opaque matmul shape error.
+    enc1_kernel = unet_params["enc1"]["kernel"]
+    if tuple(enc1_kernel.shape) != (3, 3, _LAT, _NF):
+        raise ValueError(
+            "fused sampler supports the flagship UNet geometry "
+            f"(latent_dim={_LAT}, num_filters={_NF}); got enc1 kernel "
+            f"{tuple(enc1_kernel.shape)} — use the scan samplers "
+            "(models/ldm.py) for other widths")
+
     ops: list = []
     names: list = []
 

@@ -138,6 +138,23 @@ def test_batch_guard(setup):
                                      x2, x2, num_timesteps=10)
 
 
+def test_nonflagship_geometry_rejected():
+    """A clear error, not an opaque matmul shape mismatch, for UNet widths
+    the kernel's selection matrices weren't built for."""
+    from music_style_transfer_ldm_tpu.diffusion.ddim import (
+        transfer_time_grid,
+    )
+    model = LDM(dtype=jnp.float32, latent_dim=16)
+    x = jnp.zeros((1, 128, 128, 1))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "diffusion": jax.random.PRNGKey(1)},
+                           x, x, jnp.zeros((1,), jnp.int32))
+    emb = model.apply(variables, x, method=LDM.style_embed)
+    with pytest.raises(ValueError, match="flagship UNet geometry"):
+        pack_operands(variables["params"]["unet"], emb, model.schedule,
+                      transfer_time_grid(10), 0.0, dtype=jnp.float32)
+
+
 def test_schedule_length_guard(setup):
     """Same T-bound error as the scan path (models/ldm.py:249): without it
     the alpha_bar gather silently clamps under jit."""
