@@ -233,6 +233,33 @@ def main() -> None:
         step_ms = total_s / n_steps * 1000.0
         step_source = "single-call client latency / steps (relay-bound)"
 
+    # Fastest full transfer: fused kernel on the dpm++ half grid (equal
+    # ODE accuracy at ~half the denoiser evaluations).
+    fused_dpm_traj_ms = None
+    try:
+        if over_budget("fused dpm++ chain"):
+            raise TimeoutError("budget")
+        dpm_grid = transfer_time_grid(steps, steps // 2)
+
+        @jax.jit
+        def chain_fused_dpm(z):
+            ops, names = pack_operands(variables["params"]["unet"], emb,
+                                       sched, dpm_grid, 0.0,
+                                       dtype=jnp.bfloat16, sampler="dpm++")
+            return jax.lax.fori_loop(
+                0, n_chain,
+                lambda i, z: fused_ddim_sample(ops, names, z,
+                                               len(dpm_grid) - 1,
+                                               dtype=jnp.bfloat16,
+                                               interpret=on_cpu), z)
+
+        fd_s, _ = timed(chain_fused_dpm, z0, warmup=25)
+        fused_dpm_traj_ms = max(fd_s - floor_s, 1e-9) / n_chain * 1000.0
+        log(f"fused dpm++ {steps // 2}-step trajectory x{n_chain} chained: "
+            f"{fused_dpm_traj_ms:.3f} ms per FULL transfer (device)")
+    except Exception as e:  # noqa: BLE001
+        log(f"fused dpm++ chain failed: {e!r}")
+
     # ---- secondary: DPM-Solver++(2M) on a half-coarse grid ---------------
     def transfer_dpm(content, style):
         decoded, _, _ = content_style_transfer(
@@ -384,6 +411,9 @@ def main() -> None:
         "chip_peak_tflops": (round(peak / 1e12) if peak else None),
         "transfer_dpm_halfgrid_ms": (round(dpm_s * 1000, 2)
                                      if dpm_s is not None else None),
+        "fused_dpm_halfgrid_transfer_ms": (
+            round(fused_dpm_traj_ms, 3)
+            if fused_dpm_traj_ms is not None else None),
         "transfer_b64_ms": (round(thr_s * 1000, 2)
                             if thr_s is not None else None),
         "transfer_b64_gflop": (round(transfer_flops / 1e9, 2)
