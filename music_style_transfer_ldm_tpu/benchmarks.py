@@ -1,4 +1,4 @@
-"""Headline benchmark (library form). Prints ONE JSON line to stdout.
+"""Headline benchmark (library form). Prints progressive JSON lines.
 
 Primary metric: DDIM denoise step DEVICE time on the flagship LDM (bf16,
 batch 1, 49-step style-conditioned transfer as one fused Pallas
@@ -7,25 +7,48 @@ real TPU chip under the driver). Baseline: the driver's north-star target
 of 50 ms/step (BASELINE.md; the reference publishes no numbers of its own
 — vs_baseline > 1 means faster than the target).
 
-Methodology note (round 2): this chip is reached through the axon relay,
-whose synchronous round trip is ~27 ms — more than the device time of an
-entire 49-step trajectory. Single-call sync timing (round 1's 0.576
-ms/step) therefore measures the RELAY, not the chip. Device time is now
-measured by chaining N full trajectories inside one jitted program
-(each trajectory consumes the previous one's output, so nothing can be
-elided) and amortizing: (t_chain - t_sync_floor) / N. The sync floor and
-the single-call client latency are still reported alongside.
+Capture contract (round 3): the driver parses the LAST JSON line on
+stdout and may kill the process at an unknown wall deadline, so this
+module is built to always leave a parseable headline behind:
 
-Secondary numbers (stderr): the lax.scan sampler's device step time, full
-10 s clip end-to-end transfer (mel -> VAE encode -> 50-step DDIM ->
-decode -> NNLS + Griffin-Lim audio, target < 5 s), DPM++ half-grid
-latency, batch-64 throughput + MFU, batch-128 train step + MFU.
+* the cheapest meaningful headline (sync floor + fused trajectory chain)
+  is measured FIRST and its JSON line printed immediately;
+* every later section re-prints the enriched JSON line when it succeeds
+  (last line wins), and is individually guarded by try/except AND a wall
+  budget checked BEFORE its compiles, not after;
+* SIGTERM/SIGINT (the `timeout` kill signal) triggers a handler that
+  prints the best-so-far JSON before exiting — a mid-compile kill still
+  leaves the most recent number.
+
+Round-2 post-mortem baked into the design: the axon relay's CLIENT INIT
+(first device_put) was measured at 75–495 s on this machine — an
+unpredictable tax paid before any benchmark work can start — and round
+2's bench died without printing anything because all four headline
+compiles ran before the first JSON and outside the budget guard.  Init
+is now timed and logged, the default budget is 360 s (was 1500), and the
+model/param init is jitted so it is one cached compile instead of
+hundreds of 27 ms eager relay dispatches.
+
+Methodology note (round 2, still true): the relay's synchronous round
+trip is ~27 ms — more than the device time of an entire 49-step
+trajectory. Single-call sync timing (round 1's 0.576 ms/step) measures
+the RELAY, not the chip. Device time is measured by chaining N full
+trajectories inside one jitted program (each trajectory consumes the
+previous one's output, so nothing can be elided) and amortizing:
+(t_chain - t_sync_floor) / N.
+
+Secondary numbers (stderr + enriched JSON): the lax.scan sampler's device
+step time, single-call client latency, full 10 s clip end-to-end transfer
+(mel -> VAE encode -> 50-step DDIM -> decode -> NNLS + Griffin-Lim audio,
+target < 5 s), DPM++ half-grid latency, batched fused-kernel throughput,
+batch-64 scan throughput + MFU, batch-128 train step + MFU.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -104,6 +127,56 @@ def timed(fn, *args, repeats: int = 8, warmup: int = 25):
     return best, out
 
 
+_BASELINE_MS = 50.0  # BASELINE.md north-star: < 50 ms/DDIM step
+
+
+class Emitter:
+    """Progressive headline JSON: re-printed after every section that
+    lands a number (the driver takes the last parseable line), and once
+    more from the SIGTERM/SIGINT handler if the process is killed."""
+
+    def __init__(self) -> None:
+        self.fields: dict = {}
+        self._printed_any = False
+
+    def ready(self) -> bool:
+        return "value" in self.fields
+
+    def set(self, **kv) -> None:
+        self.fields.update({k: v for k, v in kv.items() if v is not None})
+
+    def set_headline(self, step_ms: float, source: str) -> None:
+        self.fields["metric"] = "ddim_step_ms"
+        self.fields["value"] = round(step_ms, 4)
+        self.fields["unit"] = "ms"
+        self.fields["vs_baseline"] = round(_BASELINE_MS / step_ms, 2)
+        self.fields["sampler"] = source
+
+    def emit(self) -> None:
+        if not self.ready():
+            return
+        # Stable key order: headline keys first, extras after.
+        head = ("metric", "value", "unit", "vs_baseline")
+        ordered = {k: self.fields[k] for k in head if k in self.fields}
+        ordered.update(
+            {k: v for k, v in self.fields.items() if k not in head})
+        print(json.dumps(ordered), flush=True)
+        self._printed_any = True
+
+    def install_kill_handler(self) -> None:
+        def handler(signum, frame):  # noqa: ARG001
+            log(f"signal {signum}: flushing best-so-far JSON and exiting")
+            self.emit()
+            # Re-raise default behaviour semantics: exit nonzero only if
+            # we never produced a headline (so the driver's rc mirrors
+            # whether a number exists).
+            sys.stdout.flush()
+            os._exit(0 if self._printed_any or self.ready() else 1)
+
+        signal.signal(signal.SIGTERM, handler)
+        signal.signal(signal.SIGINT, handler)
+
+
 def main() -> None:
     from music_style_transfer_ldm_tpu.utils.cache import (
         enable_compilation_cache,
@@ -113,12 +186,26 @@ def main() -> None:
     from music_style_transfer_ldm_tpu.models.ldm import (
         LDM, content_style_transfer,
     )
-    from music_style_transfer_ldm_tpu.audio import melspectrogram
-    from music_style_transfer_ldm_tpu.audio.mel import power_to_db
-    from music_style_transfer_ldm_tpu.audio.quantize import db_to_unit_image
-    from music_style_transfer_ldm_tpu.audio.griffinlim import mel_to_audio
-    from music_style_transfer_ldm_tpu.audio.mel import db_to_power
-    from music_style_transfer_ldm_tpu.audio.quantize import unit_image_to_db
+
+    emitter = Emitter()
+    emitter.install_kill_handler()
+
+    t_bench_start = time.time()
+    # Wall budget: on a cold compile cache every graph goes through the
+    # remote-compile tunnel; once the budget is spent, remaining sections
+    # are skipped so the run finishes inside the driver's (unknown) kill
+    # deadline.  Checked BEFORE each section's compiles.  Round-2 died
+    # with 1500 s; the relay client init alone has been observed to take
+    # 75-495 s, so keep the default tight.
+    budget_s = float(os.environ.get("MSTLDM_BENCH_BUDGET_S", "360"))
+
+    def over_budget(section: str) -> bool:
+        spent = time.time() - t_bench_start
+        if spent > budget_s:
+            log(f"skipping {section}: {spent:.0f}s elapsed > "
+                f"{budget_s:.0f}s budget (kill-deadline protection)")
+            return True
+        return False
 
     log(f"devices: {jax.devices()}")
     cfg = default_config()
@@ -131,49 +218,41 @@ def main() -> None:
                           jnp.float32)
     style = jnp.asarray(np.random.RandomState(1).rand(1, S, S, 1),
                         jnp.float32)
-    variables = model.init(
+    # One compile instead of hundreds of eager relay dispatches; also the
+    # first device touch, so time it to make relay-init stalls visible in
+    # the driver tail.
+    t0 = time.time()
+    variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
         content, style, jnp.zeros((1,), jnp.int32))
+    _sync(variables)
+    log(f"device init + param init: {time.time() - t0:.1f}s")
 
     steps = 50
     n_steps = steps - 1
     on_cpu = jax.default_backend() == "cpu"
-    # Wall budget for the secondary sections: on a cold compile cache every
-    # graph goes through the remote-compile tunnel (minutes each); once the
-    # budget is spent, remaining secondary metrics are skipped so the run
-    # always finishes and prints its headline JSON.
-    t_bench_start = time.time()
-    budget_s = float(os.environ.get("MSTLDM_BENCH_BUDGET_S", "1500"))
-
-    def over_budget(section: str) -> bool:
-        spent = time.time() - t_bench_start
-        if spent > budget_s:
-            log(f"skipping {section}: {spent:.0f}s elapsed > "
-                f"{budget_s:.0f}s budget (cold-cache protection)")
-            return True
-        return False
     # Chain lengths: long enough that device compute dominates the ~2 ms
     # relay RTT jitter (the floor subtraction is min-of-noisy-samples, so
     # short chains can apparently exceed peak FLOP/s).
     n_chain = 2 if on_cpu else 128
 
-    def transfer(content, style):
-        decoded, _, _ = content_style_transfer(
-            model, variables, jax.random.PRNGKey(2), content, style,
-            num_timesteps=steps, eta=0.0)
-        return decoded
+    peak = _peak_flops_per_sec(jax.devices()[0])
+    emitter.set(chip=str(getattr(jax.devices()[0], "device_kind",
+                                 "unknown")),
+                chip_peak_tflops=(round(peak / 1e12) if peak else None),
+                methodology=("device time, N chained trajectories in one "
+                             "dispatch minus sync floor; round-1 value "
+                             "(0.576) was bound by the ~27 ms relay round "
+                             "trip"))
 
-    transfer_jit = jax.jit(transfer)
-    total_s, _ = timed(transfer_jit, content, style)
-    log(f"50-step transfer, single-call client latency (includes one relay "
-        f"round trip): {total_s*1000:.1f} ms")
-
-    # ---- relay sync floor: a no-op readback ------------------------------
+    # ---- relay sync floor: a no-op readback (cheapest compile first) -----
     floor_s, _ = timed(jax.jit(lambda a: a.sum()), content, repeats=10,
                        warmup=25)
     log(f"sync floor (jit(sum) + readback): {floor_s*1000:.2f} ms")
+    emitter.set(sync_floor_ms=round(floor_s * 1000, 2))
 
-    # ---- headline: device-amortized step time, chained trajectories ------
+    # ---- HEADLINE: device-amortized step time, chained fused trajectories
+    # Runs unconditionally (budget or not): without it there is no number.
     from music_style_transfer_ldm_tpu.diffusion.ddim import (
         ddim_sample, transfer_time_grid,
     )
@@ -197,45 +276,48 @@ def main() -> None:
                                            dtype=jnp.bfloat16,
                                            interpret=on_cpu), z)
 
-    @jax.jit
-    def chain_scan(z):
-        fn = _denoise_fn(model, variables, emb)
-        return jax.lax.fori_loop(
-            0, n_chain,
-            lambda i, z: ddim_sample(fn, sched, z, jnp.asarray(times),
-                                     eta=0.0)[0], z)
-
-    # Every section after the client-latency measurement is guarded: a
-    # relay hiccup or compile failure in one metric must not cost the
-    # driver its headline JSON line.
-    scan_step_ms = None
-    try:
-        scan_s, _ = timed(chain_scan, z0, warmup=25)
-        scan_step_ms = (max(scan_s - floor_s, 1e-9) / n_chain / n_steps
-                        * 1000.0)
-        log(f"lax.scan sampler x{n_chain} chained: {scan_s*1000:.1f} ms -> "
-            f"{scan_step_ms:.4f} ms/step device time")
-    except Exception as e:  # noqa: BLE001
-        log(f"scan chain failed: {e!r}")
-    step_ms, step_source = None, "fused pallas trajectory kernel (ops/pallas)"
+    step_ms = None
     try:
         fused_s, _ = timed(chain_fused, z0, warmup=25)
         step_ms = max(fused_s - floor_s, 1e-9) / n_chain / n_steps * 1000.0
         log(f"fused Pallas trajectory kernel x{n_chain} chained: "
-            f"{fused_s*1000:.1f} ms -> {step_ms:.4f} ms/step device time"
-            + (f" (speedup {scan_step_ms/step_ms:.2f}x over scan)"
-               if scan_step_ms else ""))
+            f"{fused_s*1000:.1f} ms -> {step_ms:.4f} ms/step device time")
+        emitter.set_headline(
+            step_ms, "fused pallas trajectory kernel (ops/pallas)")
+        emitter.emit()  # first parseable line: headline is now banked
     except Exception as e:  # noqa: BLE001
         log(f"fused chain failed: {e!r}")
-    if step_ms is None and scan_step_ms is not None:
-        step_ms, step_source = scan_step_ms, "lax.scan sampler (fallback)"
-    if step_ms is None:  # last resort: relay-bound single call
-        step_ms = total_s / n_steps * 1000.0
-        step_source = "single-call client latency / steps (relay-bound)"
 
-    # Fastest full transfer: fused kernel on the dpm++ half grid (equal
-    # ODE accuracy at ~half the denoiser evaluations).
-    fused_dpm_traj_ms = None
+    # ---- scan sampler step time (also the fallback headline) -------------
+    scan_step_ms = None
+    try:
+        if over_budget("scan chain") and step_ms is not None:
+            raise TimeoutError("budget")
+
+        @jax.jit
+        def chain_scan(z):
+            fn = _denoise_fn(model, variables, emb)
+            return jax.lax.fori_loop(
+                0, n_chain,
+                lambda i, z: ddim_sample(fn, sched, z, jnp.asarray(times),
+                                         eta=0.0)[0], z)
+
+        scan_s, _ = timed(chain_scan, z0, warmup=25)
+        scan_step_ms = (max(scan_s - floor_s, 1e-9) / n_chain / n_steps
+                        * 1000.0)
+        log(f"lax.scan sampler x{n_chain} chained: {scan_s*1000:.1f} ms -> "
+            f"{scan_step_ms:.4f} ms/step device time"
+            + (f" (fused speedup {scan_step_ms/step_ms:.2f}x)"
+               if step_ms else ""))
+        emitter.set(scan_step_ms=round(scan_step_ms, 4))
+        if step_ms is None:  # fused path failed: scan becomes the headline
+            step_ms = scan_step_ms
+            emitter.set_headline(step_ms, "lax.scan sampler (fallback)")
+        emitter.emit()
+    except Exception as e:  # noqa: BLE001
+        log(f"scan chain failed: {e!r}")
+
+    # ---- fused kernel on the dpm++ half grid (fastest full transfer) -----
     try:
         if over_budget("fused dpm++ chain"):
             raise TimeoutError("budget")
@@ -257,78 +339,145 @@ def main() -> None:
         fused_dpm_traj_ms = max(fd_s - floor_s, 1e-9) / n_chain * 1000.0
         log(f"fused dpm++ {steps // 2}-step trajectory x{n_chain} chained: "
             f"{fused_dpm_traj_ms:.3f} ms per FULL transfer (device)")
+        emitter.set(
+            fused_dpm_halfgrid_transfer_ms=round(fused_dpm_traj_ms, 3))
+        emitter.emit()
     except Exception as e:  # noqa: BLE001
         log(f"fused dpm++ chain failed: {e!r}")
 
-    # ---- secondary: DPM-Solver++(2M) on a half-coarse grid ---------------
-    def transfer_dpm(content, style):
+    # ---- batched fused trajectory kernel (round-3: serving buckets) ------
+    try:
+        if over_budget("batched fused chain"):
+            raise TimeoutError("budget")
+        bsz = 8
+        zb = jax.random.normal(jax.random.PRNGKey(5), (bsz, 16, 16, 32),
+                               jnp.float32)
+        embB = jax.tree_util.tree_map(
+            lambda a: jnp.tile(a, (bsz,) + (1,) * (a.ndim - 1)), emb)
+
+        @jax.jit
+        def chain_fused_batch(z):
+            ops, names = pack_operands(variables["params"]["unet"], embB,
+                                       sched, times, 0.0,
+                                       dtype=jnp.bfloat16, batch=bsz)
+            return jax.lax.fori_loop(
+                0, n_chain,
+                lambda i, z: fused_ddim_sample(ops, names, z, n_steps,
+                                               dtype=jnp.bfloat16,
+                                               interpret=on_cpu), z)
+
+        fb_s, _ = timed(chain_fused_batch, zb, warmup=25)
+        per_traj_ms = max(fb_s - floor_s, 1e-9) / n_chain * 1000.0
+        log(f"fused batch-{bsz} trajectory x{n_chain} chained: "
+            f"{per_traj_ms:.3f} ms per batch trajectory "
+            f"({bsz * 1000.0 / per_traj_ms:.0f} trajectories/s)")
+        emitter.set(fused_b8_trajectory_ms=round(per_traj_ms, 3))
+        emitter.emit()
+    except Exception as e:  # noqa: BLE001
+        log(f"batched fused chain failed: {e!r}")
+
+    # ---- single-call client latency (relay-bound; context number) --------
+    def transfer(content, style):
         decoded, _, _ = content_style_transfer(
             model, variables, jax.random.PRNGKey(2), content, style,
-            num_timesteps=steps, eta=0.0, sampler="dpm++",
-            steps=steps // 2)
+            num_timesteps=steps, eta=0.0)
         return decoded
 
-    dpm_s = None
+    transfer_jit = jax.jit(transfer)
+    total_s = None
+    try:
+        if over_budget("client-latency section"):
+            raise TimeoutError("budget")
+        total_s, _ = timed(transfer_jit, content, style)
+        log(f"50-step transfer, single-call client latency (includes one "
+            f"relay round trip): {total_s*1000:.1f} ms")
+        emitter.set(client_latency_50step_ms=round(total_s * 1000, 2))
+        emitter.emit()
+    except Exception as e:  # noqa: BLE001
+        log(f"client-latency section failed: {e!r}")
+
+    # ---- DPM-Solver++(2M) scan on a half-coarse grid ---------------------
     try:
         if over_budget("dpm++ section"):
             raise TimeoutError("budget")
+
+        def transfer_dpm(content, style):
+            decoded, _, _ = content_style_transfer(
+                model, variables, jax.random.PRNGKey(2), content, style,
+                num_timesteps=steps, eta=0.0, sampler="dpm++",
+                steps=steps // 2)
+            return decoded
+
         dpm_s, _ = timed(jax.jit(transfer_dpm), content, style)
         log(f"dpm++ {steps // 2}-step transfer (equal-accuracy coarse "
-            f"grid): {dpm_s*1000:.1f} ms total ({total_s / dpm_s:.2f}x vs "
-            f"50-step ddim)")
+            f"grid): {dpm_s*1000:.1f} ms client latency")
+        emitter.set(transfer_dpm_halfgrid_ms=round(dpm_s * 1000, 2))
+        emitter.emit()
     except Exception as e:  # noqa: BLE001
         log(f"dpm++ section failed: {e!r}")
 
-    # ---- secondary: 10 s clip end-to-end (4 x 3 s chunks as one batch) ----
-    sr = cfg.audio.sample_rate
-    clip = np.random.RandomState(2).randn(4, 3 * sr).astype(np.float32) * 0.1
-    style4 = jnp.tile(style, (4, 1, 1, 1))
-
-    def end_to_end(chunks, style_img):
-        mel_power = melspectrogram(chunks, sr=sr, n_mels=128)
-        db = power_to_db(mel_power, batched=True)
-        imgs = db_to_unit_image(db)[:, :, :128, None]
-        decoded, _, _ = content_style_transfer(
-            model, variables, jax.random.PRNGKey(3), imgs, style_img,
-            num_timesteps=steps, eta=0.0)
-        out_db = unit_image_to_db(decoded[:, :, :, 0])
-        # pad back to 130 frames with silence columns for inversion
-        out_db = jnp.pad(out_db, ((0, 0), (0, 0), (0, 2)),
-                         constant_values=-80.0)
-        audio = mel_to_audio(db_to_power(out_db), sr=sr, n_iter=32,
-                             nnls_iters=64, length=3 * sr)
-        return audio
-
+    # ---- 10 s clip end-to-end (4 x 3 s chunks as one batch) --------------
     try:
         if over_budget("end-to-end section"):
             raise TimeoutError("budget")
+        from music_style_transfer_ldm_tpu.audio import melspectrogram
+        from music_style_transfer_ldm_tpu.audio.mel import (
+            db_to_power, power_to_db,
+        )
+        from music_style_transfer_ldm_tpu.audio.quantize import (
+            db_to_unit_image, unit_image_to_db,
+        )
+        from music_style_transfer_ldm_tpu.audio.griffinlim import (
+            mel_to_audio,
+        )
+        sr = cfg.audio.sample_rate
+        clip = (np.random.RandomState(2).randn(4, 3 * sr)
+                .astype(np.float32) * 0.1)
+        style4 = jnp.tile(style, (4, 1, 1, 1))
+
+        def end_to_end(chunks, style_img):
+            mel_power = melspectrogram(chunks, sr=sr, n_mels=128)
+            db = power_to_db(mel_power, batched=True)
+            imgs = db_to_unit_image(db)[:, :, :128, None]
+            decoded, _, _ = content_style_transfer(
+                model, variables, jax.random.PRNGKey(3), imgs, style_img,
+                num_timesteps=steps, eta=0.0)
+            out_db = unit_image_to_db(decoded[:, :, :, 0])
+            # pad back to 130 frames with silence columns for inversion
+            out_db = jnp.pad(out_db, ((0, 0), (0, 0), (0, 2)),
+                             constant_values=-80.0)
+            audio = mel_to_audio(db_to_power(out_db), sr=sr, n_iter=32,
+                                 nnls_iters=64, length=3 * sr)
+            return audio
+
         e2e_jit = jax.jit(end_to_end)
         e2e_s, audio = timed(e2e_jit, jnp.asarray(clip), style4, repeats=3)
         log(f"10s clip end-to-end (mel->encode->50-step DDIM->decode->GL): "
             f"{e2e_s:.3f} s (target < 5 s); audio {audio.shape}")
+        emitter.set(e2e_10s_clip_s=round(e2e_s, 3))
+        emitter.emit()
     except Exception as e:  # noqa: BLE001
         log(f"end-to-end section failed: {e!r}")
 
-    # ---- secondary: batched serving throughput + MFU ---------------------
-    peak = _peak_flops_per_sec(jax.devices()[0])
+    # ---- batched serving throughput + MFU --------------------------------
     content64 = jnp.tile(content, (64, 1, 1, 1))
     style64 = jnp.tile(style, (64, 1, 1, 1))
     n_b64 = 1 if on_cpu else 16
-
-    @jax.jit
-    def chain_b64(c):
-        # Each iteration's decoded [0,1] output is the next content, and the
-        # style batch is rotated per iteration — without that, XLA hoists
-        # the loop-invariant style-encoder forward out of the chain and the
-        # amortized time flatters the real per-batch cost.
-        def body(i, c):
-            return transfer(c, jnp.roll(style64, i, axis=0))
-        return jax.lax.fori_loop(0, n_b64, body, c)
-
-    thr_s = transfer_flops = transfer_mfu = None
     try:
         if over_budget("batch-64 section"):
             raise TimeoutError("budget")
+
+        @jax.jit
+        def chain_b64(c):
+            # Each iteration's decoded [0,1] output is the next content,
+            # and the style batch is rotated per iteration — without that,
+            # XLA hoists the loop-invariant style-encoder forward out of
+            # the chain and the amortized time flatters the real per-batch
+            # cost.
+            def body(i, c):
+                return transfer(c, jnp.roll(style64, i, axis=0))
+            return jax.lax.fori_loop(0, n_b64, body, c)
+
         b64_s, _ = timed(chain_b64, content64, repeats=3, warmup=25)
         thr_s = max(b64_s - floor_s, 1e-9) / n_b64
         transfer_flops = _flops(transfer_jit, content64, style64)
@@ -338,24 +487,31 @@ def main() -> None:
             f"ms/batch), {(transfer_flops or 0) / 1e9:.1f} GFLOP"
             + (f", MFU {transfer_mfu:.1%}" if transfer_mfu is not None
                else ""))
+        emitter.set(
+            transfer_b64_ms=round(thr_s * 1000, 2),
+            transfer_b64_gflop=(round(transfer_flops / 1e9, 2)
+                                if transfer_flops else None),
+            mfu_transfer_b64=(round(transfer_mfu, 4)
+                              if transfer_mfu is not None else None))
+        emitter.emit()
     except Exception as e:  # noqa: BLE001
         log(f"batch-64 section failed: {e!r}")
 
-    # ---- secondary: batch-128 LDM train step (reference recipe) + MFU ----
-    from music_style_transfer_ldm_tpu.training import LDMTrainer
-    # Full recipe: lpips compression + vggish style.  The flagship run uses
-    # the TRAINABLE style term (style_loss_stop_gradient=False — the mode
-    # that actually converges, docs/results/fullscale/): with gradients
-    # flowing through it the style branch stays live in the chained loop
-    # below even though the per-step metrics are discarded.  (With the
-    # reference's no_grad quirk the style forward is metric-only, XLA
-    # dead-code-eliminates it when metrics are dropped, and the measured
-    # "step" silently loses ~2/3 of its FLOPs.)
-    import dataclasses as _dc
-    train_s = train_flops = train_mfu = None
+    # ---- batch-128 LDM train step (reference recipe) + MFU ---------------
     try:
         if over_budget("train-step section"):
             raise TimeoutError("budget")
+        from music_style_transfer_ldm_tpu.training import LDMTrainer
+        # Full recipe: lpips compression + vggish style.  The flagship run
+        # uses the TRAINABLE style term (style_loss_stop_gradient=False —
+        # the mode that actually converges, docs/results/fullscale/): with
+        # gradients flowing through it the style branch stays live in the
+        # chained loop below even though the per-step metrics are
+        # discarded.  (With the reference's no_grad quirk the style
+        # forward is metric-only, XLA dead-code-eliminates it when metrics
+        # are dropped, and the measured "step" silently loses ~2/3 of its
+        # FLOPs.)
+        import dataclasses as _dc
         bench_cfg = _dc.replace(cfg)
         bench_cfg.train = _dc.replace(cfg.train,
                                       style_loss_stop_gradient=False)
@@ -390,43 +546,29 @@ def main() -> None:
             f"{(train_flops or 0) / 1e9:.1f} GFLOP"
             + (f", MFU {train_mfu:.1%}" if train_mfu is not None else "")
             + f" ({128 / train_s:.0f} samples/s)")
+        emitter.set(
+            train_b128_step_ms=round(train_s * 1000, 2),
+            train_b128_gflop=(round(train_flops / 1e9, 2)
+                              if train_flops else None),
+            mfu_train_b128=(round(train_mfu, 4)
+                            if train_mfu is not None else None))
+        emitter.emit()
     except Exception as e:  # noqa: BLE001
         log(f"train-step section failed: {e!r}")
 
-    baseline_ms = 50.0  # BASELINE.md north-star: < 50 ms/DDIM step
-    print(json.dumps({
-        "metric": "ddim_step_ms",
-        "value": round(step_ms, 4),
-        "unit": "ms",
-        "vs_baseline": round(baseline_ms / step_ms, 2),
-        "methodology": ("device time, N chained trajectories in one "
-                        "dispatch minus sync floor; round-1 value (0.576) "
-                        "was bound by the ~27 ms relay round trip"),
-        "sampler": step_source,
-        "scan_step_ms": (round(scan_step_ms, 4)
-                         if scan_step_ms is not None else None),
-        "client_latency_50step_ms": round(total_s * 1000, 2),
-        "sync_floor_ms": round(floor_s * 1000, 2),
-        "chip": str(getattr(jax.devices()[0], "device_kind", "unknown")),
-        "chip_peak_tflops": (round(peak / 1e12) if peak else None),
-        "transfer_dpm_halfgrid_ms": (round(dpm_s * 1000, 2)
-                                     if dpm_s is not None else None),
-        "fused_dpm_halfgrid_transfer_ms": (
-            round(fused_dpm_traj_ms, 3)
-            if fused_dpm_traj_ms is not None else None),
-        "transfer_b64_ms": (round(thr_s * 1000, 2)
-                            if thr_s is not None else None),
-        "transfer_b64_gflop": (round(transfer_flops / 1e9, 2)
-                               if transfer_flops else None),
-        "mfu_transfer_b64": (round(transfer_mfu, 4)
-                             if transfer_mfu is not None else None),
-        "train_b128_step_ms": (round(train_s * 1000, 2)
-                               if train_s is not None else None),
-        "train_b128_gflop": (round(train_flops / 1e9, 2)
-                             if train_flops else None),
-        "mfu_train_b128": (round(train_mfu, 4)
-                           if train_mfu is not None else None),
-    }))
+    if not emitter.ready():
+        # Last resort so the driver still records something parseable:
+        # relay-bound single call / steps (what round 1 measured).
+        try:
+            total_s, _ = timed(transfer_jit, content, style, repeats=3,
+                               warmup=5)
+            emitter.set_headline(
+                total_s / n_steps * 1000.0,
+                "single-call client latency / steps (relay-bound)")
+        except Exception as e:  # noqa: BLE001
+            log(f"last-resort measurement failed: {e!r}")
+    emitter.emit()
+    log(f"bench done in {time.time() - t_bench_start:.0f}s")
 
 
 if __name__ == "__main__":

@@ -133,13 +133,14 @@ def cmd_generate(args) -> int:
     style = _load_image_or_audio(args.style, ap)
     lat = cfg.model.image_size // 8
     z_shape = (1, lat, lat, cfg.model.latent_dim)
-    if args.sampler == "fused":
+    if args.sampler in ("fused", "fused-dpm++"):
         from music_style_transfer_ldm_tpu.ops.pallas.fused_sampler import (
             fused_style_sample,
         )
         decoded = fused_style_sample(
             model, variables, jax.random.PRNGKey(args.seed), z_shape, style,
-            timesteps=args.steps, eta=args.eta)
+            timesteps=args.steps, eta=args.eta,
+            sampler="dpm++" if args.sampler == "fused-dpm++" else "ddim")
     else:
         decoded, _ = style_ddim_sample(
             model, variables, jax.random.PRNGKey(args.seed), z_shape, style,
@@ -180,19 +181,26 @@ def cmd_transfer(args) -> int:
         content = _audio_to_chunk_images(args.content, ap)
     style = np.repeat(_load_image_or_audio(args.style, ap),
                       content.shape[0], axis=0)
-    if args.sampler == "fused":
+    if args.sampler in ("fused", "fused-dpm++"):
         # The fused Pallas trajectory kernel is the batch-1 latency path;
         # multi-chunk clips run it once per chunk (one compile, reused).
         from music_style_transfer_ldm_tpu.ops.pallas.fused_sampler import (
             fused_content_style_transfer,
         )
         import jax.numpy as jnp
+        # Per-chunk keys derived by fold_in: no collision with another
+        # seed's stream (seed+i would alias seed'=seed+1's chunk 0).  Note
+        # the scan path instead draws one batched q_sample from
+        # PRNGKey(seed), so outputs differ across samplers for multi-chunk
+        # clips (documented in the --sampler help).
+        root = jax.random.PRNGKey(args.seed)
         decoded = jnp.concatenate([
             fused_content_style_transfer(
-                model, variables, jax.random.PRNGKey(args.seed + i),
+                model, variables, jax.random.fold_in(root, i),
                 content[i:i + 1], style[i:i + 1],
                 num_timesteps=args.steps, eta=args.eta,
-                steps=args.sample_steps)
+                steps=args.sample_steps,
+                sampler="dpm++" if args.sampler == "fused-dpm++" else "ddim")
             for i in range(content.shape[0])], axis=0)
     else:
         decoded, _, _ = content_style_transfer(
@@ -380,7 +388,8 @@ def build_parser() -> argparse.ArgumentParser:
     gen.add_argument("--style", required=True)
     gen.add_argument("--steps", type=int, default=100)
     gen.add_argument("--eta", type=float, default=0.0)
-    gen.add_argument("--sampler", choices=["ddim", "dpm++", "fused"],
+    gen.add_argument("--sampler",
+                     choices=["ddim", "dpm++", "fused", "fused-dpm++"],
                      default="ddim")
     gen.add_argument("--seed", type=int, default=0)
     gen.add_argument("--output", default="outputs/generated")
@@ -392,12 +401,18 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--style", required=True)
     tr.add_argument("--steps", type=int, default=100)
     tr.add_argument("--eta", type=float, default=0.0)
-    tr.add_argument("--sampler", choices=["ddim", "dpm++", "fused"],
-                    default="ddim")
+    tr.add_argument("--sampler",
+                    choices=["ddim", "dpm++", "fused", "fused-dpm++"],
+                    default="ddim",
+                    help="'fused*' run the Pallas trajectory kernel "
+                         "(fused-dpm++ = second-order update, use with "
+                         "--sample-steps); fused samplers draw per-chunk "
+                         "noise keys so multi-chunk outputs differ from "
+                         "the batched scan path at the same seed")
     tr.add_argument("--sample-steps", type=int, default=None,
                     help="coarse sampler grid (< --steps noising depth); "
-                         "pairs with --sampler dpm++ for ~2x fewer "
-                         "denoiser evaluations")
+                         "pairs with --sampler dpm++/fused-dpm++ for ~2x "
+                         "fewer denoiser evaluations")
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("--output", default="outputs/transferred")
     tr.set_defaults(fn=cmd_transfer)
@@ -417,10 +432,12 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8787)
     sv.add_argument("--steps", type=int, default=50)
-    sv.add_argument("--sampler", choices=["ddim", "dpm++", "fused"],
+    sv.add_argument("--sampler",
+                    choices=["ddim", "dpm++", "fused", "fused-dpm++"],
                     default="ddim",
-                    help="'fused' runs the Pallas trajectory kernel on the "
-                         "batch-1 bucket")
+                    help="'fused*' run the Pallas trajectory kernel on the "
+                         "batch-1 bucket (fused-dpm++ = second-order "
+                         "update)")
     sv.add_argument("--sample-steps", type=int, default=None,
                     help="coarse sampler grid (< --steps noising depth)")
     sv.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4, 8])

@@ -236,10 +236,10 @@ def pack_operands(unet_params: Dict[str, Any],
     for attn, skey in (("cross_attention2", "s5"), ("cross_attention1",
                                                     "s6")):
         ap = p[attn]
-        C = ap["q_proj"]["kernel"].shape[0]
-        hd = C // _N_HEADS
+        ch = ap["q_proj"]["kernel"].shape[0]  # channel count (not coef C)
+        hd = ch // _N_HEADS
         s = jnp.asarray(style_embedding[skey], dtype)
-        s = s.reshape(-1, C)                                   # [Tk, C]
+        s = s.reshape(-1, ch)                                  # [Tk, ch]
         k = s @ jnp.asarray(ap["k_proj"]["kernel"], dtype) + jnp.asarray(
             ap["k_proj"]["bias"], dtype)
         v = s @ jnp.asarray(ap["v_proj"]["kernel"], dtype) + jnp.asarray(
@@ -250,11 +250,11 @@ def pack_operands(unet_params: Dict[str, Any],
         kT = k.reshape(Tk, _N_HEADS, hd).transpose(1, 2, 0)    # [h, hd, Tk]
         vh = v.reshape(Tk, _N_HEADS, hd).transpose(1, 0, 2)    # [h, Tk, hd]
         wq = jnp.asarray(ap["q_proj"]["kernel"], dtype)
-        wq = wq.reshape(C, _N_HEADS, hd).transpose(1, 0, 2)    # [h, C, hd]
+        wq = wq.reshape(ch, _N_HEADS, hd).transpose(1, 0, 2)   # [h, ch, hd]
         bq = jnp.asarray(ap["q_proj"]["bias"], dtype)
         bq = bq.reshape(_N_HEADS, 1, hd)
         wo = jnp.asarray(ap["out_proj"]["kernel"], dtype)
-        wo = wo.reshape(_N_HEADS, hd, C)                       # [h, hd, C]
+        wo = wo.reshape(_N_HEADS, hd, ch)                      # [h, hd, ch]
         add(f"{attn}_kT", kT)
         add(f"{attn}_v", vh)
         add(f"{attn}_wq", wq)
@@ -365,7 +365,7 @@ def _unet_step(x, op, temb_row, dtype, roll):
     return _conv_roll16(u1, g("dec1_w"), g("dec1_b"), False, roll)
 
 
-def _make_kernel(names, n_steps: int, dtype):
+def _make_kernel(names, dtype):
     idx = {n: i for i, n in enumerate(names)}
 
     def kernel(*refs):
@@ -428,7 +428,7 @@ def fused_ddim_sample(operands: list, names: list, z_t: jax.Array,
                                  memory_space=pltpu.VMEM))
 
     out = pl.pallas_call(
-        _make_kernel(names, n_steps, dtype),
+        _make_kernel(names, dtype),
         grid=(n_steps,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(x0.shape, lambda i: (0, 0),

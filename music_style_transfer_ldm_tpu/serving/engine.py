@@ -90,7 +90,15 @@ class InferenceEngine:
             # keys: per-item PRNG keys [B, 2] — each request's result is
             # deterministic in its own seed regardless of how requests were
             # coalesced into batches.
-            if cfg.sampler == "fused" and content.shape[0] == 1:
+            fused = cfg.sampler in ("fused", "fused-dpm++")
+            # 'fused-dpm++' keeps the second-order update on BOTH paths:
+            # the kernel on the batch-1 bucket and the scan fallback on
+            # bigger buckets — no silent accuracy downgrade when a request
+            # lands in a batch (was ADVICE r02: fused + sample_steps ran
+            # first-order DDIM on the coarse grid).
+            inner = "dpm++" if cfg.sampler == "fused-dpm++" else (
+                "ddim" if fused else cfg.sampler)
+            if fused and content.shape[0] == 1:
                 # Fused Pallas trajectory kernel on the single-request
                 # bucket (~2x device latency win); bigger buckets ride the
                 # batched scan sampler.  The partial-noising stream is the
@@ -101,9 +109,9 @@ class InferenceEngine:
                 decoded = fused_content_style_transfer(
                     self.model, self.variables, keys, content, style,
                     num_timesteps=cfg.steps, eta=cfg.eta,
-                    steps=cfg.sample_steps)
+                    steps=cfg.sample_steps, sampler=inner)
             else:
-                sampler = "ddim" if cfg.sampler == "fused" else cfg.sampler
+                sampler = inner
                 decoded, _, _ = content_style_transfer(
                     self.model, self.variables, keys, content, style,
                     num_timesteps=cfg.steps, eta=cfg.eta, sampler=sampler,
