@@ -182,26 +182,35 @@ def cmd_transfer(args) -> int:
     style = np.repeat(_load_image_or_audio(args.style, ap),
                       content.shape[0], axis=0)
     if args.sampler in ("fused", "fused-dpm++"):
-        # The fused Pallas trajectory kernel is the batch-1 latency path;
-        # multi-chunk clips run it once per chunk (one compile, reused).
+        # Multi-chunk clips run the BATCHED fused trajectory kernel in
+        # groups of FUSED_BUCKET_MAX (the measured win region; at most two
+        # compiles: one full group + one remainder group).  Per-chunk keys
+        # derived by fold_in: no collision with another seed's stream
+        # (seed+i would alias seed'=seed+1's chunk 0), and identical
+        # outputs regardless of how chunks group into batches (per-item
+        # noising keys; batch elements compute independently).  Note the
+        # scan path instead draws one batched q_sample from PRNGKey(seed),
+        # so outputs differ across samplers for multi-chunk clips
+        # (documented in the --sampler help).
         from music_style_transfer_ldm_tpu.ops.pallas.fused_sampler import (
             fused_content_style_transfer,
         )
+        from music_style_transfer_ldm_tpu.serving.engine import (
+            FUSED_BUCKET_MAX,
+        )
         import jax.numpy as jnp
-        # Per-chunk keys derived by fold_in: no collision with another
-        # seed's stream (seed+i would alias seed'=seed+1's chunk 0).  Note
-        # the scan path instead draws one batched q_sample from
-        # PRNGKey(seed), so outputs differ across samplers for multi-chunk
-        # clips (documented in the --sampler help).
         root = jax.random.PRNGKey(args.seed)
-        decoded = jnp.concatenate([
-            fused_content_style_transfer(
-                model, variables, jax.random.fold_in(root, i),
-                content[i:i + 1], style[i:i + 1],
-                num_timesteps=args.steps, eta=args.eta,
-                steps=args.sample_steps,
-                sampler="dpm++" if args.sampler == "fused-dpm++" else "ddim")
-            for i in range(content.shape[0])], axis=0)
+        keys = jnp.stack([jax.random.fold_in(root, i)
+                          for i in range(content.shape[0])])
+        inner = "dpm++" if args.sampler == "fused-dpm++" else "ddim"
+        parts = []
+        for lo in range(0, content.shape[0], FUSED_BUCKET_MAX):
+            hi = min(lo + FUSED_BUCKET_MAX, content.shape[0])
+            parts.append(fused_content_style_transfer(
+                model, variables, keys[lo:hi], content[lo:hi],
+                style[lo:hi], num_timesteps=args.steps, eta=args.eta,
+                steps=args.sample_steps, sampler=inner))
+        decoded = jnp.concatenate(parts, axis=0)
     else:
         decoded, _, _ = content_style_transfer(
             model, variables, jax.random.PRNGKey(args.seed),

@@ -27,6 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Largest bucket routed to the fused trajectory kernel: the measured
+# crossover on the v5e (r03 sweep) — fused wins 2.3x at b=1, 2.3x at b=2,
+# 1.6x at b=4, and loses (0.94x) at b=8, where XLA's batched convs have
+# amortized their overhead.
+FUSED_BUCKET_MAX = 4
+
 
 @dataclasses.dataclass
 class EngineConfig:
@@ -35,7 +41,8 @@ class EngineConfig:
     # 'ddim' (reference parity), 'dpm++' (DPM-Solver++(2M); with
     # sample_steps < steps it walks a coarse grid — same ODE accuracy with
     # ~half the denoiser evaluations, diffusion/dpm.py), or 'fused' (the
-    # whole-trajectory Pallas kernel on the batch-1 bucket, ~2x device
+    # whole-trajectory Pallas kernel on the buckets <= FUSED_BUCKET_MAX,
+    # 1.6-2.3x device
     # latency; bigger buckets fall back to the batched ddim scan, same
     # per-seed noise stream, results equal to bf16 tolerance).
     sampler: str = "ddim"
@@ -92,15 +99,17 @@ class InferenceEngine:
             # coalesced into batches.
             fused = cfg.sampler in ("fused", "fused-dpm++")
             # 'fused-dpm++' keeps the second-order update on BOTH paths:
-            # the kernel on the batch-1 bucket and the scan fallback on
+            # the kernel on the fused buckets and the scan fallback on
             # bigger buckets — no silent accuracy downgrade when a request
             # lands in a batch (was ADVICE r02: fused + sample_steps ran
             # first-order DDIM on the coarse grid).
             inner = "dpm++" if cfg.sampler == "fused-dpm++" else (
                 "ddim" if fused else cfg.sampler)
-            if fused and content.shape[0] == 1:
-                # Fused Pallas trajectory kernel on the single-request
-                # bucket (~2x device latency win); bigger buckets ride the
+            if fused and content.shape[0] <= FUSED_BUCKET_MAX:
+                # Batched fused Pallas trajectory kernel on the small
+                # buckets (2.3x device win at b=1, 1.6x at b=4; the scan
+                # sampler overtakes it near b=8 — measured r03, see the
+                # kernel module docstring); bigger buckets ride the
                 # batched scan sampler.  The partial-noising stream is the
                 # per-item one, so the only cross-bucket difference for a
                 # given seed is the bf16 trajectory tolerance (~3e-4).

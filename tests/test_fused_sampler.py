@@ -1,12 +1,16 @@
 """Fused whole-trajectory DDIM Pallas kernel vs the scan sampler.
 
 Three parity layers, strongest to weakest coupling:
-  1. the packed matmul formulation (selection-matrix im2col, flipped
-     transpose kernels, precomputed K/V + time MLP, folded A/B update)
-     against the flax UNet + lax.scan sampler — validates the math;
+  1. the packed matmul formulation (stacked-row roll-tap convs +
+     resampling matrices, precomputed K/V + time MLP, folded A/B/C
+     update) against the flax UNet + lax.scan sampler — validates the
+     math;
   2. the Pallas kernel (interpret mode on CPU) against that packed
      reference — validates the kernel (rolls, refs, grid carry);
   3. the end-to-end wrapper against models.ldm.content_style_transfer.
+
+Batched cases (stacked-row layout, per-element styles) run the same three
+layers at B=4.
 """
 
 import jax
@@ -131,11 +135,88 @@ def test_dpm_parity(setup):
 
 
 def test_batch_guard(setup):
+    """Batches beyond the VMEM-bounded pack limit get a clear error."""
+    from music_style_transfer_ldm_tpu.ops.pallas.fused_sampler import (
+        FUSED_MAX_BATCH,
+    )
     model, variables, x, s = setup
-    x2 = jnp.concatenate([x, x], axis=0)
-    with pytest.raises(ValueError, match="batch-1"):
+    n = FUSED_MAX_BATCH + 1
+    xb = jnp.concatenate([x] * n, axis=0)
+    with pytest.raises(ValueError, match="at most"):
         fused_content_style_transfer(model, variables, jax.random.PRNGKey(0),
-                                     x2, x2, num_timesteps=10)
+                                     xb, xb, num_timesteps=10)
+
+
+@pytest.fixture(scope="module")
+def setup_b4():
+    model = LDM(dtype=jnp.float32)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(4, 128, 128, 1), jnp.float32)
+    s = jnp.asarray(rng.rand(4, 128, 128, 1), jnp.float32)  # 4 styles
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "diffusion": jax.random.PRNGKey(1)},
+                           x, s, jnp.zeros((4,), jnp.int32))
+    return model, variables, x, s
+
+
+def test_batched_kernel_matches_packed_reference(setup_b4):
+    """Pallas kernel (interpret) == jnp executor of the same packed math
+    at B=4 with a different style per element."""
+    model, variables, x, s = setup_b4
+    emb = model.apply(variables, s, method=LDM.style_embed)
+    sched = model.schedule
+    z0 = model.apply(variables, x, method=LDM.encode)
+    z_t, _ = sched.q_sample(jax.random.PRNGKey(2), z0.astype(jnp.float32),
+                            jnp.full((4,), 11, jnp.int32))
+    times = transfer_time_grid(12)
+    ops, names = pack_operands(variables["params"]["unet"], emb, sched,
+                               times, 0.0, dtype=jnp.float32, batch=4)
+    lat_ref = reference_ddim_sample(ops, names, z_t, len(times) - 1)
+    lat_pal = fused_ddim_sample(ops, names, z_t, len(times) - 1,
+                                dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(lat_pal), np.asarray(lat_ref),
+                               atol=1e-5)
+
+
+def test_batched_wrapper_matches_scan(setup_b4):
+    """End-to-end batched fused transfer == scan sampler at B=4 with
+    per-element styles AND per-element noising keys."""
+    model, variables, x, s = setup_b4
+    keys = jax.random.split(jax.random.PRNGKey(9), 4)
+    ref, _, _ = content_style_transfer(model, variables, keys, x, s,
+                                       num_timesteps=12)
+    out = fused_content_style_transfer(model, variables, keys, x, s,
+                                       num_timesteps=12, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_batched_equals_per_element(setup_b4):
+    """Batch elements compute independently: the B=4 kernel output equals
+    four B=1 runs with the same per-item keys (grouping-invariance the
+    serving engine and the CLI chunk batching rely on)."""
+    model, variables, x, s = setup_b4
+    keys = jax.random.split(jax.random.PRNGKey(13), 4)
+    out = fused_content_style_transfer(model, variables, keys, x, s,
+                                       num_timesteps=10, interpret=True)
+    for b in range(4):
+        one = fused_content_style_transfer(
+            model, variables, keys[b:b + 1], x[b:b + 1], s[b:b + 1],
+            num_timesteps=10, interpret=True)
+        np.testing.assert_allclose(np.asarray(out[b:b + 1]),
+                                   np.asarray(one), atol=1e-5)
+
+
+def test_batched_dpm_parity(setup_b4):
+    """Batched fused DPM-Solver++(2M) on the coarse grid == scan."""
+    model, variables, x, s = setup_b4
+    keys = jax.random.split(jax.random.PRNGKey(23), 4)
+    ref, _, _ = content_style_transfer(model, variables, keys, x, s,
+                                       num_timesteps=14, sampler="dpm++",
+                                       steps=7)
+    out = fused_content_style_transfer(model, variables, keys, x, s,
+                                       num_timesteps=14, sampler="dpm++",
+                                       steps=7, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
 def test_nonflagship_geometry_rejected():
