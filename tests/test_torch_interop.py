@@ -552,3 +552,78 @@ def test_cli_import_torch_end_to_end(tmp_path, rng_t):
     np.testing.assert_allclose(got01, nhwc(want01), atol=2e-2)
     # And the average deviation is tiny (atol above guards worst pixels).
     assert float(np.abs(got01 - nhwc(want01)).mean()) < 1e-3
+
+
+def test_torch_ldm_training_forward_parity(rng_t):
+    """VERDICT r2 item 9: the TRAINING-time LDM.forward (encode ->
+    q_sample -> denoise -> predict_start -> decode -> [0,1] rescale;
+    ref: model.py:355-379) against a live torch composition of the same
+    reference-architecture modules, via convert_ldm_state_dict — every
+    entry of the returned dict, with the torch side consuming the SAME
+    noise draw (read back from the jax output)."""
+    from music_style_transfer_ldm_tpu.interop.torch_weights import (
+        convert_ldm_state_dict,
+    )
+
+    t_enc, t_dec = _torch_ae()
+    t_unet = _TorchUNet()
+    t_style = _TorchStyle()
+    with torch.no_grad():
+        _randomize_bn(t_enc, rng_t)
+        _randomize_bn(t_dec, rng_t)
+    for m in (t_enc, t_dec, t_unet, t_style):
+        m.eval()
+
+    flat = {}
+    for k, v in t_enc.state_dict().items():
+        flat[f"encoder.encoder.{k}"] = v
+    for k, v in t_dec.state_dict().items():
+        flat[f"decoder.decoder.{k}"] = v
+    for k, v in t_unet.state_dict().items():
+        flat[f"unet.{k}"] = v
+    for k, v in t_style.state_dict().items():
+        flat[f"style_encoder.{k}"] = v
+    T = 200
+    beta = torch.linspace(1e-4, 0.02, T)
+    alpha_bar = torch.cumprod(1.0 - beta, dim=0)
+    flat["noise_scheduler.beta_t"] = beta
+    flat["noise_scheduler.alpha_t"] = 1.0 - beta
+    flat["noise_scheduler.alpha_bar_t"] = alpha_bar
+
+    payload = convert_ldm_state_dict(flat)
+    variables = {"params": payload["params"],
+                 "batch_stats": payload["batch_stats"]}
+    model = LDM(latent_dim=32, num_timesteps=T)
+
+    content = rng_t.rand(2, 128, 128, 1).astype(np.float32)
+    style = rng_t.rand(2, 128, 128, 1).astype(np.float32)
+    tvec = np.asarray([3, 150], np.int64)  # one early, one late timestep
+
+    out = model.apply(variables, jnp.asarray(content), jnp.asarray(style),
+                      jnp.asarray(tvec, jnp.int32),
+                      rngs={"diffusion": jax.random.PRNGKey(5)})
+
+    tc = torch.tensor(content.transpose(0, 3, 1, 2))
+    ts = torch.tensor(style.transpose(0, 3, 1, 2))
+    noise = torch.tensor(np.asarray(out["noise"]).transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        z0_t = t_enc(tc)
+        ab = alpha_bar[tvec][:, None, None, None]
+        z_t_t = torch.sqrt(ab) * z0_t + torch.sqrt(1 - ab) * noise
+        eps_hat_t = t_unet(z_t_t, torch.tensor(tvec), t_style(ts))
+        z0_hat_t = (z_t_t - torch.sqrt(1 - ab) * eps_hat_t) / torch.sqrt(ab)
+        rec_t = (t_dec(z0_hat_t) + 1.0) / 2.0
+
+    def nhwc(x):
+        return x.numpy().transpose(0, 2, 3, 1)
+
+    np.testing.assert_allclose(np.asarray(out["z_0"]), nhwc(z0_t),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["z_t"]), nhwc(z_t_t),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["noise_pred"]),
+                               nhwc(eps_hat_t), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out["reconstructed"]),
+                               nhwc(rec_t), atol=2e-2)
+    assert float(np.abs(np.asarray(out["reconstructed"])
+                        - nhwc(rec_t)).mean()) < 1e-3
