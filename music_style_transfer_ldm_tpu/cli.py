@@ -290,6 +290,10 @@ def cmd_serve(args) -> int:
                         batch_buckets=tuple(args.buckets),
                         max_wait_ms=args.max_wait_ms,
                         autoscale=args.autoscale)
+    mesh = None
+    if args.mesh_dp > 1:
+        from music_style_transfer_ldm_tpu.parallel import make_mesh
+        mesh = make_mesh((args.mesh_dp, 1))
     # --checkpoint accepts a bare path (single model) or repeated
     # name=path entries (multi-model routing at /v1/models/<name>/transfer;
     # the first is the default model).
@@ -299,7 +303,7 @@ def cmd_serve(args) -> int:
         name = name or ("default" if not engines else
                         f"model{len(engines)}")
         model, variables = _restore_ldm(cfg, path)
-        engines[name] = InferenceEngine(model, variables, ecfg)
+        engines[name] = InferenceEngine(model, variables, ecfg, mesh=mesh)
     print(f"warming {len(args.buckets)} batch buckets x "
           f"{len(engines)} model(s)...", flush=True)
     for eng in engines.values():
@@ -450,6 +454,10 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--sample-steps", type=int, default=None,
                     help="coarse sampler grid (< --steps noising depth)")
     sv.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4, 8])
+    sv.add_argument("--mesh-dp", type=int, default=1,
+                    help="shard every serving bucket over this many "
+                         "devices (data parallel; buckets round up to "
+                         "multiples of it)")
     sv.add_argument("--max-wait-ms", type=float, default=5.0)
     sv.add_argument("--auth-token", default=None,
                     help="require 'Authorization: Bearer <token>'")

@@ -63,14 +63,37 @@ class EngineConfig:
 
 
 class InferenceEngine:
-    """Warm engine over a trained LDM checkpoint."""
+    """Warm engine over a trained LDM checkpoint.
+
+    mesh: optional jax.sharding.Mesh — serving then scales with chip count:
+    variables are replicated across the mesh, every bucket's batch is
+    dp-sharded over the 'data' axis, and XLA partitions the whole transfer
+    program (sampler + Griffin-Lim) across the devices.  Buckets are
+    rounded up to multiples of the data-axis size so every request batch
+    shards evenly (the engine's pad-and-crop path already guarantees pad
+    rows cannot affect real rows).  The fused single-chip kernel is
+    bypassed under a mesh (it is a one-core latency optimization).
+    """
 
     def __init__(self, model, variables, config: Optional[EngineConfig] = None,
-                 audio_processor=None):
+                 audio_processor=None, mesh=None):
         from music_style_transfer_ldm_tpu.audio.processor import AudioProcessor
         self.model = model
-        self.variables = variables
+        self.mesh = mesh
         self.config = config or EngineConfig()
+        if mesh is not None:
+            from music_style_transfer_ldm_tpu.parallel.mesh import (
+                replicated_sharding,
+            )
+            n_data = mesh.shape["data"]
+            variables = jax.device_put(variables,
+                                       replicated_sharding(mesh))
+            self.config = dataclasses.replace(
+                self.config,
+                batch_buckets=tuple(sorted({
+                    -(-b // n_data) * n_data
+                    for b in self.config.batch_buckets})))
+        self.variables = variables
         self.ap = audio_processor or AudioProcessor()
         self._queue: queue.Queue = queue.Queue()
         self._stats = {"requests": 0, "batches": 0, "padded_slots": 0,
@@ -105,7 +128,8 @@ class InferenceEngine:
             # first-order DDIM on the coarse grid).
             inner = "dpm++" if cfg.sampler == "fused-dpm++" else (
                 "ddim" if fused else cfg.sampler)
-            if fused and content.shape[0] <= FUSED_BUCKET_MAX:
+            if (fused and content.shape[0] <= FUSED_BUCKET_MAX
+                    and self.mesh is None):
                 # Batched fused Pallas trajectory kernel on the small
                 # buckets (2.3x device win at b=1, 1.6x at b=4; the scan
                 # sampler overtakes it near b=8 — measured r03, see the
@@ -146,13 +170,22 @@ class InferenceEngine:
 
         return jax.jit(fn)
 
+    def _place(self, *arrays):
+        """dp-shard bucket-shaped arrays over the mesh (no-op without)."""
+        if self.mesh is None:
+            return arrays
+        from music_style_transfer_ldm_tpu.parallel.sharding import (
+            shard_batch,
+        )
+        return tuple(shard_batch(a, self.mesh, pad=False) for a in arrays)
+
     def warmup(self) -> None:
         """Pre-compile every bucket (call before taking traffic)."""
         S = self.config.image_size
         for b in self.config.batch_buckets:
             x = jnp.zeros((b, S, S, 1), jnp.float32)
             keys = jax.vmap(jax.random.PRNGKey)(jnp.zeros((b,), jnp.int32))
-            out = self._transfer_fn(x, x, keys)
+            out = self._transfer_fn(*self._place(x, x, keys))
             jax.tree_util.tree_map(
                 lambda a: np.asarray(jax.device_get(a.ravel()[0])), out)
             # Rebind (never mutate): concurrent readers iterate snapshots.
@@ -203,7 +236,7 @@ class InferenceEngine:
         keys = jax.vmap(
             lambda l, h: jax.random.fold_in(jax.random.PRNGKey(l), h))(lo, hi)
         out = self._transfer_fn(
-            jnp.asarray(content), jnp.asarray(style), keys)
+            *self._place(jnp.asarray(content), jnp.asarray(style), keys))
         self._stats["batches"] += 1
         return {k: np.asarray(v)[:b] for k, v in out.items()}
 

@@ -412,3 +412,38 @@ def test_engine_dpm_sampler(rng):
                              rng.rand(2, 128, 128, 1).astype(np.float32))
     assert out["image"].shape == (2, 128, 128, 1)
     assert np.isfinite(out["image"]).all()
+
+
+def test_mesh_sharded_engine_matches_single_device(rng):
+    """VERDICT r2 #6: dp-sharded serving over a 4-device mesh produces the
+    same outputs as the single-device engine (same per-item seeds), with
+    buckets rounded up to multiples of the data-axis size."""
+    from music_style_transfer_ldm_tpu.parallel import make_mesh
+
+    model = LDM(latent_dim=32, num_timesteps=20)
+    x = jnp.zeros((1, 128, 128, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        x, x, jnp.zeros((1,), jnp.int32))
+    cfg = EngineConfig(steps=4, batch_buckets=(1, 2, 4), max_wait_ms=5.0,
+                       griffin_lim_iters=2, nnls_iters=4)
+    mesh = make_mesh((4, 1), devices=jax.devices("cpu")[:4])
+    eng_mesh = InferenceEngine(model, variables, cfg, mesh=mesh)
+    # Buckets 1 and 2 round up to the dp size.
+    assert eng_mesh.config.batch_buckets == (4,)
+    eng_one = InferenceEngine(model, variables, cfg)
+
+    content = rng.rand(4, 128, 128, 1).astype(np.float32)
+    style = rng.rand(4, 128, 128, 1).astype(np.float32)
+    seeds = np.arange(4)
+    out_m = eng_mesh.transfer_batch(content, style, seeds)
+    out_1 = eng_one.transfer_batch(content, style, seeds)
+    np.testing.assert_allclose(out_m["image"], out_1["image"],
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(out_m["audio"], out_1["audio"],
+                               atol=1e-4, rtol=1e-4)
+
+    # Sub-dp batch (3 requests) pads into the dp-wide bucket and crops.
+    out_m3 = eng_mesh.transfer_batch(content[:3], style[:3], seeds[:3])
+    np.testing.assert_allclose(out_m3["image"], out_1["image"][:3],
+                               atol=1e-5, rtol=1e-5)
