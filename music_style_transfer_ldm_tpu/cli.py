@@ -216,6 +216,10 @@ def cmd_transfer(args) -> int:
             model, variables, jax.random.PRNGKey(args.seed),
             content, style, num_timesteps=args.steps, eta=args.eta,
             sampler=args.sampler, steps=args.sample_steps)
+    if args.match_level:
+        from music_style_transfer_ldm_tpu.models.ldm import match_moments
+        import jax.numpy as jnp
+        decoded = match_moments(jnp.asarray(decoded), jnp.asarray(style))
     _save_outputs(np.asarray(decoded[:, :, :, 0]), args.output, ap)
     return 0
 
@@ -427,6 +431,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "pairs with --sampler dpm++/fused-dpm++ for ~2x "
                          "fewer denoiser evaluations")
     tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--match-level", action="store_true",
+                    help="affine-match each output's global level/contrast "
+                         "to its style image (corrects the diffusion "
+                         "decoder's compressed dynamic range; see "
+                         "models.ldm.match_moments)")
     tr.add_argument("--output", default="outputs/transferred")
     tr.set_defaults(fn=cmd_transfer)
 

@@ -257,6 +257,34 @@ def content_style_transfer(model: LDM, variables, key: jax.Array,
                           None if steps is None else int(steps))
 
 
+def match_moments(imgs: jax.Array, reference: jax.Array,
+                  clip: Tuple[float, float] = (0.0, 1.0)) -> jax.Array:
+    """Per-item affine level/contrast correction toward a reference image.
+
+    The r03 independent evaluation (evaluation/metrics.py;
+    docs/results/fullscale/transfer_eval.json) found the diffusion
+    decoder's outputs carry the style's envelope SHAPE (81% band-shape
+    reduction) but at ~4x compressed global level/contrast — a known
+    diffusion-decoder artifact that std-normalized perceptual metrics are
+    structurally blind to.  This classic moment-matching post-correction
+    (the spectrogram analogue of style-transfer color matching) rescales
+    each output so its global mean/std equal its style reference's:
+
+        out = (img - mean(img)) / std(img) * std(ref) + mean(ref)
+
+    clipped back to the valid range.  Opt-in on every inference surface
+    (``--match-level`` in the CLI, ``EngineConfig.match_level``); off by
+    default for parity with the reference's raw decoder output.
+    """
+    axes = tuple(range(1, imgs.ndim))
+    m_o = jnp.mean(imgs, axis=axes, keepdims=True)
+    s_o = jnp.std(imgs, axis=axes, keepdims=True)
+    m_r = jnp.mean(reference, axis=axes, keepdims=True)
+    s_r = jnp.std(reference, axis=axes, keepdims=True)
+    out = (imgs - m_o) / jnp.maximum(s_o, 1e-6) * s_r + m_r
+    return jnp.clip(out, clip[0], clip[1])
+
+
 def load_ldm(config, full_checkpoint: Optional[str] = None,
              autoencoder_checkpoint: Optional[str] = None,
              dtype=jnp.bfloat16):

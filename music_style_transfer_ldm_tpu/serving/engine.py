@@ -50,6 +50,10 @@ class EngineConfig:
     batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
     max_wait_ms: float = 5.0
     image_size: int = 128
+    # Affine-match each output's global level/contrast to its style image
+    # (models.ldm.match_moments) — corrects the diffusion decoder's
+    # compressed dynamic range; off by default for reference parity.
+    match_level: bool = False
     griffin_lim_iters: int = 32
     nnls_iters: int = 64
     invert_audio: bool = True
@@ -149,6 +153,11 @@ class InferenceEngine:
                     self.model, self.variables, keys, content, style,
                     num_timesteps=cfg.steps, eta=cfg.eta, sampler=sampler,
                     steps=cfg.sample_steps)
+            if cfg.match_level:
+                from music_style_transfer_ldm_tpu.models.ldm import (
+                    match_moments,
+                )
+                decoded = match_moments(decoded, style)
             out = {"image": decoded}
             if cfg.invert_audio:
                 from music_style_transfer_ldm_tpu.audio.mel import db_to_power

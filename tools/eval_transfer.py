@@ -79,6 +79,8 @@ def main() -> int:
     content_np, style_np = np.asarray(content), np.asarray(style)
 
     mse = lambda a, b: float(np.mean((a - b) ** 2))
+    # seed 3 is the TRAINING style trunk (train_ldm.py: seed+3) — kept for
+    # continuity with earlier reports, but see the independent block below.
     vgg = build_feature_metric("vggish", dtype=jnp.float32)
     vgg.init(seed=3, input_shape=(1,) + content.shape[1:])
     dist = lambda a, b: float(vgg.distance(vgg.params, jnp.asarray(a),
@@ -86,6 +88,26 @@ def main() -> int:
 
     base = dist(content_np, style_np)
     got = dist(decoded, style_np)
+
+    # Training-independent metrics (VERDICT r02 #3): log-mel band
+    # statistics vs the style corpus, spectral convergence, and two
+    # independently-seeded perceptual trunks — none share anything with
+    # the training objective (which used the seed-3 trunk above).
+    from music_style_transfer_ldm_tpu.evaluation import (
+        independent_transfer_metrics,
+    )
+    indep = independent_transfer_metrics(content_np, style_np, decoded,
+                                         seeds=(11, 29))
+
+    # Same metric block after the opt-in moment-matching correction
+    # (models.ldm.match_moments; CLI --match-level): shows how much of the
+    # raw band-stats miss is the decoder's global dynamic-range
+    # compression vs genuine envelope-shape error.
+    from music_style_transfer_ldm_tpu.models.ldm import match_moments
+    matched = np.asarray(match_moments(jnp.asarray(decoded),
+                                       jnp.asarray(style_np)))
+    indep_matched = independent_transfer_metrics(content_np, style_np,
+                                                 matched, seeds=(11, 29))
     results = {
         "n_pairs": len(idx),
         "steps": args.steps,
@@ -96,6 +118,10 @@ def main() -> int:
         "vggish_distance_transfer_vs_style": round(got, 4),
         "vggish_distance_content_vs_style_baseline": round(base, 4),
         "style_distance_reduction_pct": round(100 * (1 - got / base), 1),
+        "style_trunk_note": ("seed-3 trunk == the training style-loss "
+                             "trunk; independent metrics below"),
+        **indep,
+        "level_matched": indep_matched,
         "sampler": args.sampler,
         "sample_steps": args.sample_steps,
         "checkpoint": str(args.checkpoint),
