@@ -51,13 +51,17 @@ class FeatureMetric:
                                            x)["params"]
 
     def distance(self, params, a: jax.Array, b: jax.Array,
-                 weights=None) -> jax.Array:
+                 weights=None, impl: str = "auto") -> jax.Array:
         """Pure function of (params, a, b[, weights]) — safe to close over
         the module only (params are passed through the jit boundary
-        explicitly).  ``weights`` renormalizes over padded batch rows."""
+        explicitly).  ``weights`` renormalizes over padded batch rows.
+        impl ('auto'|'pallas'|'xla') selects the vggish normalized-MSE
+        layer implementation (see losses/vggish.py); meshed callers must
+        pass 'xla' (the Pallas kernel is opaque to GSPMD)."""
         if self.kind == "lpips":
             return self.module.apply({"params": params}, a, b, weights)
-        return vggish_feature_distance(self.module, params, a, b, weights)
+        return vggish_feature_distance(self.module, params, a, b, weights,
+                                       impl=impl)
 
 
 def build_feature_metric(kind: str, dtype=jnp.float32,

@@ -81,14 +81,94 @@ class VGGishFeatureLoss:
                                        target, weights)
 
 
+_NM_EPS = 1e-8
+
+
+@jax.custom_vjp
+def normalized_mse(p: jax.Array, t: jax.Array,
+                   weights: jax.Array) -> jax.Array:
+    """One layer of the std-normalized feature MSE (ref: loss.py:92-101)
+    with a hand-derived closed-form backward:
+
+        p_hat = p/(s_p+eps),   u = g * w_b * 2 (p_hat - t_hat) / n
+        dL/dp = u/(s_p+eps) - (sum u p) (p - mu_p) / ((s_p+eps)^2 n s_p)
+
+    (and symmetrically for t; stats in f32 regardless of feature dtype;
+    weights is the [B] validity vector — pass ones for the plain mean,
+    see basic.weighted_batch_mean).  Measured impact r03: the full train
+    step went 25.3 -> 24.4 ms (+4% throughput) — the explicit residual
+    list and single-pass backward give XLA a slightly leaner graph than
+    autodiff, though most of the layer's cost is irreducible HBM traffic
+    (docs/PERFORMANCE.md wall analysis).
+    """
+    loss, _ = _nm_fwd(p, t, weights)
+    return loss
+
+
+def _nm_stats(x32, axes):
+    mu = jnp.mean(x32, axis=axes, keepdims=True)
+    var = jnp.mean((x32 - mu) ** 2, axis=axes, keepdims=True)
+    s = jnp.sqrt(var)
+    return mu, s
+
+
+def _nm_fwd(p, t, weights):
+    axes = (1, 2, 3)
+    p32, t32 = p.astype(jnp.float32), t.astype(jnp.float32)
+    mu_p, s_p = _nm_stats(p32, axes)
+    mu_t, s_t = _nm_stats(t32, axes)
+    ph = p32 / (s_p + _NM_EPS)
+    th = t32 / (s_t + _NM_EPS)
+    m = jnp.mean((ph - th) ** 2, axis=axes)                       # [B]
+    w = weights.astype(jnp.float32)
+    wsum = jnp.sum(w)
+    loss = jnp.sum(m * w) / wsum
+    return loss, (p, t, mu_p, s_p, mu_t, s_t, m, w, wsum)
+
+
+def _nm_bwd(res, g):
+    p, t, mu_p, s_p, mu_t, s_t, m, w, wsum = res
+    axes = (1, 2, 3)
+    n = float(np.prod(p.shape[1:]))
+    p32, t32 = p.astype(jnp.float32), t.astype(jnp.float32)
+    ph = p32 / (s_p + _NM_EPS)
+    th = t32 / (s_t + _NM_EPS)
+    wn = (g * w / wsum)[:, None, None, None]
+    u = (2.0 / n) * wn * (ph - th)
+    a = jnp.sum(u * p32, axis=axes, keepdims=True)
+    dp = u / (s_p + _NM_EPS) - a * (p32 - mu_p) / (
+        (s_p + _NM_EPS) ** 2 * n * s_p)
+    b = jnp.sum(u * t32, axis=axes, keepdims=True)
+    dt = -u / (s_t + _NM_EPS) + b * (t32 - mu_t) / (
+        (s_t + _NM_EPS) ** 2 * n * s_t)
+    # dL/dw_b = g * (m_b * wsum - sum(m w)) / wsum^2 (quotient rule).
+    dw = g * (m * wsum - jnp.sum(m * w)) / (wsum ** 2)
+    return dp.astype(p.dtype), dt.astype(t.dtype), dw.astype(jnp.float32)
+
+
+normalized_mse.defvjp(_nm_fwd, _nm_bwd)
+
+
 def vggish_feature_distance(module: VGGishFeatures, params,
                             predicted: jax.Array,
                             target: jax.Array,
-                            weights=None) -> jax.Array:
+                            weights=None,
+                            impl: str = "auto") -> jax.Array:
     """Std-normalized multi-layer MSE (ref: loss.py:92-101).
 
     Matches the reference's arithmetic: each feature map is divided by its
-    per-sample std over (H, W, C) (+1e-8), then MSE, averaged over layers.
+    per-sample std over (H, W, C) (+1e-8), then MSE, averaged over layers
+    (normalization statistics in f32).
+
+    impl selects the layer implementation: 'xla' (default; the
+    closed-form-VJP jnp version above) or 'pallas' (the single-HBM-read
+    TPU kernel, ops/pallas/normalized_mse.py).  Measured r03 at batch
+    128: XLA 18.5 ms vs Pallas 28.5 ms for the full trunk fwd+grad — XLA
+    fuses the normalization into the surrounding conv pipeline, while
+    the opaque kernels force extra HBM round trips, so 'auto' = 'xla'
+    and the kernel is kept as a parity-tested alternate (same judgement
+    call as ops/pallas/fused_mel_image.py).
+
     (The reference additionally extracts features under torch.no_grad; that
     gradient-blocking behavior is applied by the trainers via
     TrainConfig.style_loss_stop_gradient, see losses/feature.py.)
@@ -96,16 +176,23 @@ def vggish_feature_distance(module: VGGishFeatures, params,
     (the reference wraps extraction in no_grad + frozen weights; here the
     params are stop_gradient'ed by the caller).
     """
-    from music_style_transfer_ldm_tpu.losses.basic import weighted_batch_mean
-
     feats_p = module.apply({"params": params}, predicted)
     feats_t = module.apply({"params": params}, target)
+    if weights is None:
+        weights = jnp.ones((predicted.shape[0],), jnp.float32)
+    if impl == "auto":
+        impl = "xla"
+    if impl == "pallas":
+        from music_style_transfer_ldm_tpu.ops.pallas.normalized_mse import (
+            normalized_mse_pallas,
+        )
+        interp = jax.default_backend() == "cpu"
+        layer = lambda p, t, w: normalized_mse_pallas(p, t, w, interp)
+    else:
+        layer = normalized_mse
     total = jnp.float32(0.0)
     for p, t in zip(feats_p, feats_t):
-        axes = (1, 2, 3)  # per-sample over H, W, C (ref dims [1,2,3] in NCHW)
-        p = p / (jnp.std(p, axis=axes, keepdims=True) + 1e-8)
-        t = t / (jnp.std(t, axis=axes, keepdims=True) + 1e-8)
-        total = total + weighted_batch_mean((p - t) ** 2, weights)
+        total = total + layer(p, t, weights)
     return total / len(feats_p)
 
 

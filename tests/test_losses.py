@@ -148,3 +148,88 @@ def test_torch_lpips_conversion_shapes(rng):
     assert got_shapes == ref_shapes
     out = mod.apply({"params": params}, x, x)
     assert float(out) < 1e-8
+
+
+def test_normalized_mse_custom_vjp_matches_autodiff(rng):
+    """The closed-form VJP (losses/vggish.py normalized_mse) must equal
+    autodiff of the plain formula — value and both input gradients,
+    weighted and unweighted, f32 and bf16 features."""
+    import jax
+    import jax.numpy as jnp
+
+    from music_style_transfer_ldm_tpu.losses.vggish import normalized_mse
+
+    def plain(p, t, w):
+        axes = (1, 2, 3)
+        p32, t32 = p.astype(jnp.float32), t.astype(jnp.float32)
+        ph = p32 / (jnp.std(p32, axis=axes, keepdims=True) + 1e-8)
+        th = t32 / (jnp.std(t32, axis=axes, keepdims=True) + 1e-8)
+        m = jnp.mean((ph - th) ** 2, axis=axes)
+        return jnp.sum(m * w) / jnp.sum(w)
+
+    for dtype, tol in ((jnp.float32, 2e-5), (jnp.bfloat16, 2e-2)):
+        p = jnp.asarray(rng.randn(3, 8, 8, 5), dtype) * 2.0
+        t = jnp.asarray(rng.randn(3, 8, 8, 5), dtype)
+        for w in (jnp.ones((3,), jnp.float32),
+                  jnp.asarray([1.0, 1.0, 0.0], jnp.float32)):
+            got = float(normalized_mse(p, t, w))
+            want = float(plain(p, t, w))
+            assert abs(got - want) <= tol * max(1.0, abs(want)), (got, want)
+            gp, gt, gw = jax.grad(
+                lambda *a: normalized_mse(*a), argnums=(0, 1, 2))(p, t, w)
+            wp, wt, ww = jax.grad(plain, argnums=(0, 1, 2))(p, t, w)
+            np.testing.assert_allclose(np.asarray(gp, np.float32),
+                                       np.asarray(wp, np.float32),
+                                       rtol=tol, atol=tol)
+            np.testing.assert_allclose(np.asarray(gt, np.float32),
+                                       np.asarray(wt, np.float32),
+                                       rtol=tol, atol=tol)
+            np.testing.assert_allclose(np.asarray(gw), np.asarray(ww),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_normalized_mse_pallas_matches_xla(rng):
+    """The Pallas layer kernels (ops/pallas/normalized_mse.py, interpret
+    mode on CPU) equal the XLA closed-form implementation — value and all
+    three gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from music_style_transfer_ldm_tpu.losses.vggish import normalized_mse
+    from music_style_transfer_ldm_tpu.ops.pallas.normalized_mse import (
+        normalized_mse_pallas,
+    )
+
+    p = jnp.asarray(rng.randn(3, 16, 16, 64), jnp.float32)
+    t = jnp.asarray(rng.randn(3, 16, 16, 64), jnp.float32)
+    w = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)
+    got = float(normalized_mse_pallas(p, t, w, True))
+    want = float(normalized_mse(p, t, w))
+    assert abs(got - want) < 1e-5
+    gp, gt, gw = jax.grad(lambda *a: normalized_mse_pallas(*a, True),
+                          argnums=(0, 1, 2))(p, t, w)
+    wp, wt, ww = jax.grad(normalized_mse, argnums=(0, 1, 2))(p, t, w)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(wt), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(ww), atol=1e-6)
+
+
+def test_vggish_distance_pallas_impl_matches(rng):
+    """vggish_feature_distance(impl='pallas') == default, incl. grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from music_style_transfer_ldm_tpu.losses.feature import (
+        build_feature_metric,
+    )
+    m = build_feature_metric("vggish", dtype=jnp.float32)
+    m.init(seed=0, input_shape=(1, 64, 64, 1))
+    a = jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32)
+    b = jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32)
+    d_x = float(m.distance(m.params, a, b, impl="xla"))
+    d_p = float(m.distance(m.params, a, b, impl="pallas"))
+    assert abs(d_x - d_p) < 1e-5 * max(1.0, abs(d_x))
+    g_x = jax.grad(lambda z: m.distance(m.params, z, b, impl="xla"))(a)
+    g_p = jax.grad(lambda z: m.distance(m.params, z, b, impl="pallas"))(a)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                               rtol=1e-4, atol=1e-6)
