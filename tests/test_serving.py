@@ -447,3 +447,23 @@ def test_mesh_sharded_engine_matches_single_device(rng):
     out_m3 = eng_mesh.transfer_batch(content[:3], style[:3], seeds[:3])
     np.testing.assert_allclose(out_m3["image"], out_1["image"][:3],
                                atol=1e-5, rtol=1e-5)
+
+
+def test_engine_match_level(rng):
+    """EngineConfig.match_level: outputs' global mean/std follow the style
+    image per item (models.ldm.match_moments), images stay in [0, 1]."""
+    model = LDM(latent_dim=32, num_timesteps=20)
+    x = jnp.zeros((1, 128, 128, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        x, x, jnp.zeros((1,), jnp.int32))
+    cfg = EngineConfig(steps=4, batch_buckets=(2,), invert_audio=False,
+                       match_level=True)
+    eng = InferenceEngine(model, variables, cfg)
+    content = rng.rand(2, 128, 128, 1).astype(np.float32)
+    style = (0.3 * rng.rand(2, 128, 128, 1) + 0.2).astype(np.float32)
+    out = eng.transfer_batch(content, style, seeds=[1, 2])["image"]
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    for i in range(2):
+        assert abs(out[i].mean() - style[i].mean()) < 0.03
+        assert abs(out[i].std() - style[i].std()) < 0.03
