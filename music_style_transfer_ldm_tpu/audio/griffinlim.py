@@ -33,14 +33,19 @@ def griffin_lim(S: jax.Array, *, n_iter: int = 32, hop_length: int = 512,
                 win_length: int | None = None, n_fft: int | None = None,
                 momentum: float = 0.99, init: str = "random",
                 length: int | None = None,
-                key: jax.Array | None = None) -> jax.Array:
+                key: jax.Array | None = None,
+                init_phase: jax.Array | None = None) -> jax.Array:
     """Phase-recover audio from a magnitude spectrogram.
 
     S: [..., n_freq, n_frames] non-negative magnitudes.
     Returns [..., n_samples] float32 audio.
     init='random' matches librosa's default (random phases); pass a PRNG key
     for reproducibility, else a fixed key is used. init='zeros' starts from
-    zero phase.
+    zero phase.  init_phase (overrides init): a complex STFT (or unit
+    phasor array) of the same [..., n_freq, n_frames] shape whose ANGLES
+    seed the iteration — e.g. the content clip's own phases in a style
+    transfer, which converges far faster than random (the time structure
+    survives the transfer; standard phase-reuse trick).
     """
     n_freq = S.shape[-2]
     if n_fft is None:
@@ -49,7 +54,10 @@ def griffin_lim(S: jax.Array, *, n_iter: int = 32, hop_length: int = 512,
         win_length = n_fft
     S = S.astype(jnp.float32)
 
-    if init == "random":
+    if init_phase is not None:
+        z = init_phase.astype(jnp.complex64)
+        angles = z / (jnp.abs(z) + 1e-16)
+    elif init == "random":
         if key is None:
             key = jax.random.PRNGKey(0)
         phase = jax.random.uniform(key, S.shape, jnp.float32, 0.0, 2.0 * jnp.pi)
@@ -110,12 +118,15 @@ def mel_to_audio(M: jax.Array, sr: int = 22050, n_fft: int = 2048,
                  hop_length: int = 512, win_length: int | None = None,
                  power: float = 2.0, n_iter: int = 32, nnls_iters: int = 64,
                  length: int | None = None,
-                 key: jax.Array | None = None) -> jax.Array:
+                 key: jax.Array | None = None,
+                 init_phase: jax.Array | None = None) -> jax.Array:
     """librosa.feature.inverse.mel_to_audio equivalent, end-to-end on device.
 
     M: [..., n_mels, T] mel power spectrogram -> [..., n_samples] audio.
+    init_phase: optional [..., 1 + n_fft//2, T] complex STFT whose angles
+    seed Griffin-Lim (see griffin_lim).
     """
     S = mel_to_stft(M, sr=sr, n_fft=n_fft, power=power, nnls_iters=nnls_iters)
     return griffin_lim(S, n_iter=n_iter, hop_length=hop_length,
                        win_length=win_length, n_fft=n_fft, length=length,
-                       key=key)
+                       key=key, init_phase=init_phase)

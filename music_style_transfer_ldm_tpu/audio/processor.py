@@ -99,9 +99,12 @@ class AudioProcessor:
     def grayscale_mel_spectrogram_image_to_audio(
             self, image, sr: int | None = None, max_db: float = 80.0,
             n_iter: int = 32, length: int | None = None,
-            key: jax.Array | None = None) -> jax.Array:
+            key: jax.Array | None = None,
+            init_phase: jax.Array | None = None) -> jax.Array:
         """uint8 image -> dB -> power -> NNLS + Griffin-Lim audio
         (ref: audio_processor.py:81-100), fully on device and batched.
+        init_phase: optional complex STFT matched to the image's frames
+        whose angles seed Griffin-Lim (phase reuse, see audio/griffinlim).
         """
         sr = sr or self.target_sr
         img = jnp.asarray(image)
@@ -109,7 +112,8 @@ class AudioProcessor:
         mel_power = _mel.db_to_power(log_mel)
         return _gl.mel_to_audio(
             mel_power, sr=sr, n_fft=self.n_fft, hop_length=self.hop_length,
-            n_iter=n_iter, nnls_iters=self.nnls_iters, length=length, key=key)
+            n_iter=n_iter, nnls_iters=self.nnls_iters, length=length,
+            key=key, init_phase=init_phase)
 
     grayscale_mel_spectogram_image_to_audio = (
         grayscale_mel_spectrogram_image_to_audio)

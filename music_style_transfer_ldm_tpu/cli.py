@@ -149,15 +149,16 @@ def cmd_generate(args) -> int:
     return 0
 
 
-def _audio_to_chunk_images(path: str, ap, n_mels: int = 128) -> np.ndarray:
-    """Full clip -> [n_chunks, 128, 128, 1] batch of spectrogram images
-    (3 s chunks, zero-padded last; one jitted DSP call for the whole clip)."""
+def _audio_to_chunk_images(path: str, ap, n_mels: int = 128):
+    """Full clip -> ([n_chunks, 128, 128, 1] spectrogram images,
+    [n_chunks, samples] waveform chunks) — 3 s chunks, zero-padded last;
+    one jitted DSP call for the whole clip."""
     from music_style_transfer_ldm_tpu.data.build_dataset import chunk_audio
     audio, sr = ap.load_audio(path)
     audio = ap.trim_silence(audio)
     chunks = chunk_audio(audio, sr, 3.0, None)
     imgs = np.asarray(ap.waveform_batch_to_unit_images(chunks, n_mels=n_mels))
-    return imgs[:, :, :128, None].astype(np.float32)
+    return imgs[:, :, :128, None].astype(np.float32), chunks
 
 
 def cmd_transfer(args) -> int:
@@ -175,10 +176,11 @@ def cmd_transfer(args) -> int:
     cfg = default_config()
     ap = AudioProcessor()
     model, variables = _restore_ldm(cfg, args.checkpoint)
+    content_chunks = None
     if Path(args.content).suffix.lower() in (".png", ".jpg", ".jpeg", ".bmp"):
         content = _load_image_or_audio(args.content, ap)
     else:
-        content = _audio_to_chunk_images(args.content, ap)
+        content, content_chunks = _audio_to_chunk_images(args.content, ap)
     style = np.repeat(_load_image_or_audio(args.style, ap),
                       content.shape[0], axis=0)
     if args.sampler in ("fused", "fused-dpm++"):
@@ -220,7 +222,20 @@ def cmd_transfer(args) -> int:
         from music_style_transfer_ldm_tpu.models.ldm import match_moments
         import jax.numpy as jnp
         decoded = match_moments(jnp.asarray(decoded), jnp.asarray(style))
-    _save_outputs(np.asarray(decoded[:, :, :, 0]), args.output, ap)
+    init_phase = None
+    if args.phase_init == "content":
+        if content_chunks is None:
+            raise SystemExit("--phase-init content needs audio content "
+                             "(got a spectrogram image)")
+        # Seed Griffin-Lim with the content chunks' own phases: the time
+        # structure survives the transfer, so this converges much faster
+        # than random phases (phase-reuse; see audio/griffinlim.py).
+        from music_style_transfer_ldm_tpu.audio import stft as _stft
+        spec = np.asarray(_stft.stft(content_chunks, n_fft=ap.n_fft,
+                                     hop_length=ap.hop_length))
+        init_phase = spec[:, :, :128]  # images carry 128 frames
+    _save_outputs(np.asarray(decoded[:, :, :, 0]), args.output, ap,
+                  init_phase=init_phase)
     return 0
 
 
@@ -254,12 +269,14 @@ def cmd_diagnose(args) -> int:
     return 0
 
 
-def _save_outputs(img01: np.ndarray, output: str, ap) -> None:
+def _save_outputs(img01: np.ndarray, output: str, ap,
+                  init_phase: np.ndarray | None = None) -> None:
     """Write <output>.png (spectrogram) and <output>.wav (Griffin-Lim).
 
     img01 may be [H, W] (single chunk) or [N, H, W] (a chunked clip: chunks
     are phase-recovered as one batch and concatenated into one WAV; the PNG
-    tiles them horizontally).
+    tiles them horizontally).  init_phase optionally seeds Griffin-Lim
+    (--phase-init content).
     """
     from PIL import Image
     from music_style_transfer_ldm_tpu.audio.io import write_wav
@@ -275,7 +292,7 @@ def _save_outputs(img01: np.ndarray, output: str, ap) -> None:
     png = np.concatenate(list(u8), axis=1) if batched else u8
     Image.fromarray(png, mode="L").save(out.with_suffix(".png"))
     audio = np.asarray(ap.grayscale_mel_spectrogram_image_to_audio(
-        u8, length=3 * sr))
+        u8, length=3 * sr, init_phase=init_phase))
     if batched:
         audio = audio.reshape(-1)
     write_wav(out.with_suffix(".wav"), audio, sr)
@@ -431,6 +448,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "pairs with --sampler dpm++/fused-dpm++ for ~2x "
                          "fewer denoiser evaluations")
     tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--phase-init", choices=["random", "content"],
+                    default="random",
+                    help="Griffin-Lim phase seed: 'content' reuses the "
+                         "content audio's own phases (faster convergence, "
+                         "cleaner transients); 'random' is reference "
+                         "parity")
     tr.add_argument("--match-level", action="store_true",
                     help="affine-match each output's global level/contrast "
                          "to its style image (corrects the diffusion "
