@@ -249,3 +249,37 @@ class AudioProcessor:
             plt.close()
         else:
             plt.show()
+
+
+def crossfade_stitch(chunks: np.ndarray, hop_samples: int) -> np.ndarray:
+    """Stitch overlapping reconstructed chunks into one waveform.
+
+    chunks: [N, L] windows taken at stride hop_samples (<= L); overlapped
+    regions are blended with complementary linear ramps (equal-gain
+    crossfade), removing the boundary discontinuities of plain
+    concatenation — Griffin-Lim phase-recovers each chunk independently,
+    so disjoint chunks meet with arbitrary phase at the seam.
+    hop_samples == L degrades to exact concatenation.
+    """
+    chunks = np.asarray(chunks, np.float32)
+    n, length = chunks.shape
+    hop = int(hop_samples)
+    if hop >= length or n == 1:
+        return chunks.reshape(-1)[: (n - 1) * hop + length]
+    total = (n - 1) * hop + length
+    out = np.zeros(total, np.float32)
+    norm = np.zeros(total, np.float32)
+    overlap = length - hop
+    ramp_in = np.ones(length, np.float32)
+    ramp_in[:overlap] = np.linspace(0.0, 1.0, overlap, endpoint=False)
+    ramp_out = np.ones(length, np.float32)
+    ramp_out[hop:] = np.linspace(1.0, 0.0, overlap, endpoint=False)
+    for j in range(n):
+        w = np.ones(length, np.float32)
+        if j > 0:
+            w = w * ramp_in
+        if j < n - 1:
+            w = w * ramp_out
+        out[j * hop:j * hop + length] += w * chunks[j]
+        norm[j * hop:j * hop + length] += w
+    return out / np.maximum(norm, 1e-8)

@@ -149,14 +149,17 @@ def cmd_generate(args) -> int:
     return 0
 
 
-def _audio_to_chunk_images(path: str, ap, n_mels: int = 128):
+def _audio_to_chunk_images(path: str, ap, n_mels: int = 128,
+                           overlap: float = 0.0):
     """Full clip -> ([n_chunks, 128, 128, 1] spectrogram images,
     [n_chunks, samples] waveform chunks) — 3 s chunks, zero-padded last;
-    one jitted DSP call for the whole clip."""
+    one jitted DSP call for the whole clip.  overlap in [0, 1) makes the
+    chunks overlap by that fraction (crossfade-stitched on output)."""
     from music_style_transfer_ldm_tpu.data.build_dataset import chunk_audio
     audio, sr = ap.load_audio(path)
     audio = ap.trim_silence(audio)
-    chunks = chunk_audio(audio, sr, 3.0, None)
+    hop_s = 3.0 * (1.0 - overlap) if overlap else None
+    chunks = chunk_audio(audio, sr, 3.0, None, hop_seconds=hop_s)
     imgs = np.asarray(ap.waveform_batch_to_unit_images(chunks, n_mels=n_mels))
     return imgs[:, :, :128, None].astype(np.float32), chunks
 
@@ -176,11 +179,17 @@ def cmd_transfer(args) -> int:
     cfg = default_config()
     ap = AudioProcessor()
     model, variables = _restore_ldm(cfg, args.checkpoint)
+    if not 0.0 <= args.overlap < 1.0:
+        raise SystemExit(f"--overlap must be in [0, 1); got {args.overlap}")
     content_chunks = None
     if Path(args.content).suffix.lower() in (".png", ".jpg", ".jpeg", ".bmp"):
+        if args.overlap:
+            raise SystemExit("--overlap needs audio content "
+                             "(got a spectrogram image)")
         content = _load_image_or_audio(args.content, ap)
     else:
-        content, content_chunks = _audio_to_chunk_images(args.content, ap)
+        content, content_chunks = _audio_to_chunk_images(
+            args.content, ap, overlap=args.overlap)
     style = np.repeat(_load_image_or_audio(args.style, ap),
                       content.shape[0], axis=0)
     if args.sampler in ("fused", "fused-dpm++"):
@@ -234,8 +243,10 @@ def cmd_transfer(args) -> int:
         spec = np.asarray(_stft.stft(content_chunks, n_fft=ap.n_fft,
                                      hop_length=ap.hop_length))
         init_phase = spec[:, :, :128]  # images carry 128 frames
+    hop_samples = (int(3 * (1.0 - args.overlap) * ap.target_sr)
+                   if args.overlap else None)
     _save_outputs(np.asarray(decoded[:, :, :, 0]), args.output, ap,
-                  init_phase=init_phase)
+                  init_phase=init_phase, hop_samples=hop_samples)
     return 0
 
 
@@ -270,13 +281,15 @@ def cmd_diagnose(args) -> int:
 
 
 def _save_outputs(img01: np.ndarray, output: str, ap,
-                  init_phase: np.ndarray | None = None) -> None:
+                  init_phase: np.ndarray | None = None,
+                  hop_samples: int | None = None) -> None:
     """Write <output>.png (spectrogram) and <output>.wav (Griffin-Lim).
 
     img01 may be [H, W] (single chunk) or [N, H, W] (a chunked clip: chunks
-    are phase-recovered as one batch and concatenated into one WAV; the PNG
+    are phase-recovered as one batch and stitched into one WAV; the PNG
     tiles them horizontally).  init_phase optionally seeds Griffin-Lim
-    (--phase-init content).
+    (--phase-init content); hop_samples < chunk length crossfades the
+    overlap (--overlap) instead of concatenating.
     """
     from PIL import Image
     from music_style_transfer_ldm_tpu.audio.io import write_wav
@@ -294,7 +307,11 @@ def _save_outputs(img01: np.ndarray, output: str, ap,
     audio = np.asarray(ap.grayscale_mel_spectrogram_image_to_audio(
         u8, length=3 * sr, init_phase=init_phase))
     if batched:
-        audio = audio.reshape(-1)
+        from music_style_transfer_ldm_tpu.audio.processor import (
+            crossfade_stitch,
+        )
+        audio = crossfade_stitch(
+            audio, audio.shape[1] if hop_samples is None else hop_samples)
     write_wav(out.with_suffix(".wav"), audio, sr)
     print(f"wrote {out.with_suffix('.png')} and {out.with_suffix('.wav')}")
 
@@ -448,6 +465,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "pairs with --sampler dpm++/fused-dpm++ for ~2x "
                          "fewer denoiser evaluations")
     tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--overlap", type=float, default=0.0,
+                    help="fraction in [0, 1): process overlapping 3 s "
+                         "chunks and crossfade the seams (removes the "
+                         "phase discontinuities of disjoint chunks); "
+                         "0 = reference-parity disjoint chunks")
     tr.add_argument("--phase-init", choices=["random", "content"],
                     default="random",
                     help="Griffin-Lim phase seed: 'content' reuses the "

@@ -20,12 +20,22 @@ AUDIO_EXTENSIONS = (".mp3", ".wav", ".m4a", ".flac", ".ogg")
 
 
 def chunk_audio(audio: np.ndarray, sr: int, chunk_seconds: float = 3.0,
-                max_duration: Optional[float] = 1800.0) -> np.ndarray:
+                max_duration: Optional[float] = 1800.0,
+                hop_seconds: Optional[float] = None) -> np.ndarray:
     """[T] -> [n_chunks, chunk_samples], zero-padding the last chunk and
     capping total duration (ref: build_dataset.py:105-110 loop semantics:
-    a chunk starting before the cap is still processed in full)."""
+    a chunk starting before the cap is still processed in full).
+
+    hop_seconds < chunk_seconds yields OVERLAPPING chunks (inference-side
+    crossfade stitching, audio/processor.crossfade_stitch); the default
+    hop == chunk is the reference's disjoint dataset convention.
+    """
     chunk = int(chunk_seconds * sr)
-    starts = list(range(0, len(audio), chunk))
+    hop = chunk if hop_seconds is None else max(1, int(hop_seconds * sr))
+    starts = list(range(0, len(audio), hop))
+    # Drop trailing windows that start past the signal (possible when
+    # hop < chunk and the previous window already covered the tail).
+    starts = [s for s in starts if s < len(audio)] or [0]
     if max_duration is not None:
         starts = [s for s in starts if (s / sr) < max_duration]
     out = np.zeros((len(starts), chunk), np.float32)

@@ -152,3 +152,21 @@ def test_griffin_lim_phase_init_converges_faster(rng):
                                        init_phase=spec))
     assert err(seeded) < 0.05, err(seeded)       # true phases: ~exact
     assert err(seeded) < 0.3 * err(rand)         # and far below random
+
+
+def test_crossfade_stitch_reconstructs_overlapped_signal(rng):
+    """Chunks cut from one signal at 50% overlap stitch back to the
+    original (interior exactly: complementary linear ramps sum to 1);
+    hop == length degrades to plain concatenation."""
+    from music_style_transfer_ldm_tpu.audio.processor import crossfade_stitch
+    from music_style_transfer_ldm_tpu.data.build_dataset import chunk_audio
+    sr = 1000
+    y = rng.randn(4 * sr).astype(np.float32)
+    chunks = chunk_audio(y, sr, 1.0, None, hop_seconds=0.5)
+    out = crossfade_stitch(chunks, sr // 2)
+    n = min(len(out), len(y))
+    np.testing.assert_allclose(out[:n], y[:n], atol=1e-6)
+
+    disjoint = chunk_audio(y, sr, 1.0, None)
+    cat = crossfade_stitch(disjoint, sr)
+    np.testing.assert_array_equal(cat, disjoint.reshape(-1))
