@@ -67,11 +67,14 @@ def main() -> int:
          "--out-dir", "runs/ae"])
     cli(["train", "--model", "ldm", "--epochs", str(args.epochs),
          "--pretrained-ae", "runs/ae/pretrained", "--out-dir", "runs/ldm"])
-    # The product artifact: a recognizable melody in a different timbre.
+    # The product artifact: a recognizable melody in a different timbre,
+    # with the full quality stack — dynamic-range matching, content-phase
+    # Griffin-Lim seeding, and crossfaded overlapping chunks.
     cli(["transfer", "--checkpoint", "runs/ldm/ldm_final",
          "--content", "downloads/violin/ode_to_joy.wav",
          "--style", "processed_images/piano/greensleeves_chunk0.png",
          "--steps", str(args.steps), "--match-level",
+         "--phase-init", "content", "--overlap", "0.5",
          "--output", "out/ode_to_joy_as_piano"])
     cli(["diagnose", "--checkpoint", "runs/ldm/ldm_final"])
 

@@ -41,11 +41,14 @@ def griffin_lim(S: jax.Array, *, n_iter: int = 32, hop_length: int = 512,
     Returns [..., n_samples] float32 audio.
     init='random' matches librosa's default (random phases); pass a PRNG key
     for reproducibility, else a fixed key is used. init='zeros' starts from
-    zero phase.  init_phase (overrides init): a complex STFT (or unit
-    phasor array) of the same [..., n_freq, n_frames] shape whose ANGLES
-    seed the iteration — e.g. the content clip's own phases in a style
-    transfer, which converges far faster than random (the time structure
-    survives the transfer; standard phase-reuse trick).
+    zero phase.  init_phase (overrides init): phases of the same
+    [..., n_freq, n_frames] shape whose ANGLES seed the iteration — e.g.
+    the content clip's own phases in a style transfer, which converges
+    far faster than random (the time structure survives the transfer;
+    standard phase-reuse trick).  May be a REAL array of angles in
+    radians (preferred: the axon TPU relay cannot transfer complex64 at
+    all — compute angles host-side with audio.stft.stft_np + np.angle)
+    or a complex STFT (CPU-safe only).
     """
     n_freq = S.shape[-2]
     if n_fft is None:
@@ -55,8 +58,12 @@ def griffin_lim(S: jax.Array, *, n_iter: int = 32, hop_length: int = 512,
     S = S.astype(jnp.float32)
 
     if init_phase is not None:
-        z = init_phase.astype(jnp.complex64)
-        angles = z / (jnp.abs(z) + 1e-16)
+        if jnp.iscomplexobj(init_phase):
+            z = init_phase.astype(jnp.complex64)
+            angles = z / (jnp.abs(z) + 1e-16)
+        else:  # real angles in radians (relay-safe representation)
+            angles = jnp.exp(
+                1j * init_phase.astype(jnp.float32).astype(jnp.complex64))
     elif init == "random":
         if key is None:
             key = jax.random.PRNGKey(0)

@@ -85,6 +85,30 @@ def stft(y: jax.Array, n_fft: int = 2048, hop_length: int = 512,
     return jnp.swapaxes(spec, -1, -2)
 
 
+def stft_np(y: np.ndarray, n_fft: int = 2048, hop_length: int = 512,
+            win_length: int | None = None, center: bool = True
+            ) -> np.ndarray:
+    """Host-side numpy mirror of ``stft`` (same window, padding, layout).
+
+    Exists because the axon TPU relay cannot transfer complex64 arrays in
+    EITHER direction (probed r03: upload and readback both raise
+    UNIMPLEMENTED) — host-side phase extraction (e.g. for Griffin-Lim
+    content-phase seeding, cli transfer --phase-init) must therefore stay
+    in numpy and ship only REAL angles across the device boundary.
+    """
+    if win_length is None:
+        win_length = n_fft
+    window = _padded_window_np(win_length, n_fft)
+    y = np.asarray(y, np.float32)
+    if center:
+        pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        y = np.pad(y, pad)
+    nf = 1 + (y.shape[-1] - n_fft) // hop_length
+    idx = np.arange(nf)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    spec = np.fft.rfft(y[..., idx] * window, n=n_fft, axis=-1)
+    return np.swapaxes(spec, -1, -2)
+
+
 def _overlap_add(frames: jax.Array, hop_length: int) -> jax.Array:
     """[..., n_frames, n_fft] -> [..., n_fft + hop*(n_frames-1)] overlap-add.
 

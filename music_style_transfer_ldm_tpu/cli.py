@@ -239,10 +239,12 @@ def cmd_transfer(args) -> int:
         # Seed Griffin-Lim with the content chunks' own phases: the time
         # structure survives the transfer, so this converges much faster
         # than random phases (phase-reuse; see audio/griffinlim.py).
-        from music_style_transfer_ldm_tpu.audio import stft as _stft
-        spec = np.asarray(_stft.stft(content_chunks, n_fft=ap.n_fft,
-                                     hop_length=ap.hop_length))
-        init_phase = spec[:, :, :128]  # images carry 128 frames
+        # Host-side numpy STFT + real angles: the axon relay cannot move
+        # complex64 in either direction (audio/stft.py stft_np).
+        from music_style_transfer_ldm_tpu.audio.stft import stft_np
+        spec = stft_np(content_chunks, n_fft=ap.n_fft,
+                       hop_length=ap.hop_length)
+        init_phase = np.angle(spec[:, :, :128]).astype(np.float32)
     hop_samples = (int(3 * (1.0 - args.overlap) * ap.target_sr)
                    if args.overlap else None)
     _save_outputs(np.asarray(decoded[:, :, :, 0]), args.output, ap,

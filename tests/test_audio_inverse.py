@@ -170,3 +170,20 @@ def test_crossfade_stitch_reconstructs_overlapped_signal(rng):
     disjoint = chunk_audio(y, sr, 1.0, None)
     cat = crossfade_stitch(disjoint, sr)
     np.testing.assert_array_equal(cat, disjoint.reshape(-1))
+
+
+def test_griffin_lim_real_angle_init_equals_complex(rng):
+    """init_phase as REAL angles (the relay-safe representation the CLI
+    ships) equals the complex-STFT form."""
+    import jax.numpy as jnp
+    sr = 22050
+    t = np.arange(sr // 2) / sr
+    y = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    spec = S.stft(y, n_fft=1024, hop_length=256)
+    mag = jnp.abs(spec)
+    a = np.asarray(GL.griffin_lim(mag, n_iter=3, hop_length=256, n_fft=1024,
+                                  length=len(y), init_phase=spec))
+    b = np.asarray(GL.griffin_lim(mag, n_iter=3, hop_length=256, n_fft=1024,
+                                  length=len(y),
+                                  init_phase=jnp.angle(spec)))
+    np.testing.assert_allclose(a, b, atol=1e-5)

@@ -99,3 +99,14 @@ def test_istft_length_longer_pads(rng):
     out = np.asarray(S.istft(spec, n_fft=1024, hop_length=256, length=5000))
     assert out.shape == (5000,)
     assert np.abs(out[4500:]).max() == 0.0  # zero-padded tail
+
+
+def test_stft_np_matches_device_stft(rng):
+    """The host-side numpy mirror (relay-safe phase extraction) equals the
+    jitted STFT, batched and single."""
+    y = rng.randn(2, 8192).astype(np.float32)
+    got = S.stft_np(y, n_fft=1024, hop_length=256)
+    want = np.asarray(S.stft(y, n_fft=1024, hop_length=256))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    got1 = S.stft_np(y[0], n_fft=1024, hop_length=256)
+    np.testing.assert_allclose(got1, want[0], rtol=1e-4, atol=1e-4)
