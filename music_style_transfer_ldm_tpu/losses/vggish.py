@@ -176,12 +176,27 @@ def vggish_feature_distance(module: VGGishFeatures, params,
     (the reference wraps extraction in no_grad + frozen weights; here the
     params are stop_gradient'ed by the caller).
     """
-    feats_p = module.apply({"params": params}, predicted)
-    feats_t = module.apply({"params": params}, target)
     if weights is None:
         weights = jnp.ones((predicted.shape[0],), jnp.float32)
     if impl == "auto":
         impl = "xla"
+    if impl in ("fused", "fused-value"):
+        # Whole-trunk Pallas kernel (ops/pallas/fused_trunk.py): every
+        # conv, pool and metric in one VMEM residency per sample.
+        # 'fused' carries the pred-side gradient; 'fused-value' is
+        # metrics-only (for stop-gradient callers).  Single-device only
+        # (opaque to GSPMD) and VGGish-geometry-gated — callers check
+        # ops.pallas.fused_trunk.fused_supported first.
+        from music_style_transfer_ldm_tpu.ops.pallas.fused_trunk import (
+            fused_vggish_distance, fused_vggish_distance_value,
+        )
+        interp = jax.default_backend() == "cpu"
+        dt = jnp.dtype(module.dtype)
+        fn = (fused_vggish_distance if impl == "fused"
+              else fused_vggish_distance_value)
+        return fn(params, predicted, target, weights, dt, interp)
+    feats_p = module.apply({"params": params}, predicted)
+    feats_t = module.apply({"params": params}, target)
     if impl == "pallas":
         from music_style_transfer_ldm_tpu.ops.pallas.normalized_mse import (
             normalized_mse_pallas,
