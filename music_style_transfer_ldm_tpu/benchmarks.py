@@ -530,6 +530,37 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         log(f"batch-64 dpm++ section failed: {e!r}")
 
+    # ---- batch-64 throughput on the 6-step distilled grid ----------------
+    # The grid a progressively-distilled student walks (training/distill.py,
+    # stages 48->24->12->6 over the steps=50 transfer range): 6 denoiser
+    # evals per clip.  Device time only depends on the grid, not the
+    # weights; the matching quality numbers live in
+    # docs/results/distill/transfer_eval_distill*.json.
+    try:
+        if over_budget("batch-64 distilled section"):
+            raise TimeoutError("budget")
+
+        def transfer_d6(c, s):
+            decoded, _, _ = content_style_transfer(
+                model, variables, jax.random.PRNGKey(2), c, s,
+                num_timesteps=steps, eta=0.0, sampler="ddim", steps=7)
+            return decoded
+
+        @jax.jit
+        def chain_b64_d6(c):
+            def body(i, c):
+                return transfer_d6(c, jnp.roll(style64, i, axis=0))
+            return jax.lax.fori_loop(0, n_b64, body, c)
+
+        d6_s, _ = timed(chain_b64_d6, content64, repeats=3, warmup=25)
+        thr_d6 = max(d6_s - floor_s, 1e-9) / n_b64
+        log(f"batch-64 distilled-grid 6-step transfer: {64 / thr_d6:.0f} "
+            f"clips/s ({thr_d6 * 1000:.2f} ms/batch)")
+        emitter.set(transfer_b64_distill6_clips_per_s=round(64 / thr_d6))
+        emitter.emit()
+    except Exception as e:  # noqa: BLE001
+        log(f"batch-64 distilled section failed: {e!r}")
+
     # ---- batch-128 LDM train step (reference recipe) + MFU ---------------
     try:
         if over_budget("train-step section"):

@@ -115,6 +115,45 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_distill(args) -> int:
+    """Progressive distillation of the transfer sampler
+    (training/distill.py; no reference counterpart — its samplers walk
+    every step, ref: models/model.py:431-458)."""
+    import dataclasses
+
+    from music_style_transfer_ldm_tpu.config import default_config
+    from music_style_transfer_ldm_tpu.datasets import (
+        BatchLoader, SpectrogramPairDataset,
+    )
+    from music_style_transfer_ldm_tpu.models.ldm import load_ldm
+    from music_style_transfer_ldm_tpu.training.distill import (
+        ProgressiveDistiller,
+    )
+
+    cfg = default_config()
+    if args.batch_size:
+        cfg.train = dataclasses.replace(cfg.train,
+                                        batch_size=args.batch_size)
+    root = args.data_root or cfg.data.processed_dir
+    pair_file = args.pairing_file or cfg.data.pairing_file
+    pair_ds = SpectrogramPairDataset(root, pair_file)
+    loader = BatchLoader(pair_ds, cfg.train.batch_size, shuffle=True,
+                         seed=cfg.train.seed)
+
+    _, variables = load_ldm(cfg, full_checkpoint=args.checkpoint)
+    stages = [int(s) for s in args.stages.split(",") if s]
+    dist = ProgressiveDistiller(cfg, t_max=args.t_max)
+    _, info = dist.distill(variables, loader, stages=stages,
+                           steps_per_stage=args.steps_per_stage,
+                           lr=args.lr, out_dir=args.out_dir,
+                           seed=cfg.train.seed)
+    final = info["steps"]
+    print(f"distilled to {final} steps; transfer with "
+          f"--sample-steps {final + 1} (grids: {info['stages']} -> {final})"
+          f"; checkpoints under {args.out_dir}")
+    return 0
+
+
 def _restore_ldm(cfg, ckpt_path: str):
     from music_style_transfer_ldm_tpu.models.ldm import load_ldm
     return load_ldm(cfg, full_checkpoint=ckpt_path)
@@ -430,6 +469,25 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--resume-from",
                    help="full train-state checkpoint to resume from")
     t.set_defaults(fn=cmd_train)
+
+    dl = sub.add_parser(
+        "distill", help="progressive sampler distillation: halve the "
+                        "transfer grid stage by stage (beyond reference)")
+    dl.add_argument("--checkpoint", required=True,
+                    help="converged full-LDM (or train-state) checkpoint")
+    dl.add_argument("--data-root")
+    dl.add_argument("--pairing-file")
+    dl.add_argument("--out-dir", default="runs/distill")
+    dl.add_argument("--stages", default="96,48,24,12,6",
+                    help="comma-separated teacher step counts; consecutive "
+                         "entries must halve (final student = last//2)")
+    dl.add_argument("--steps-per-stage", type=int, default=400)
+    dl.add_argument("--lr", type=float, default=1e-4)
+    dl.add_argument("--batch-size", type=int)
+    dl.add_argument("--t-max", type=int, default=100,
+                    help="transfer noise level the grids cover (matches "
+                         "`transfer --steps`)")
+    dl.set_defaults(fn=cmd_distill)
 
     dg = sub.add_parser("diagnose", help="parameter table + dead-style-"
                                          "encoder probe on a checkpoint")

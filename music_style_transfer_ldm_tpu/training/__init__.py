@@ -8,3 +8,6 @@ from music_style_transfer_ldm_tpu.training.train_autoencoder import (  # noqa: F
     AETrainer,
 )
 from music_style_transfer_ldm_tpu.training.train_ldm import LDMTrainer  # noqa: F401
+from music_style_transfer_ldm_tpu.training.distill import (  # noqa: F401
+    ProgressiveDistiller,
+)

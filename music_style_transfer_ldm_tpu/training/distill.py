@@ -1,0 +1,315 @@
+"""Progressive distillation of the diffusion sampler (beyond reference).
+
+The reference's samplers walk every grid step in a Python loop
+(ref: models/model.py:431-458 generation, :525-552 transfer); this
+framework already fuses the walk (diffusion/ddim.py scan, DPM-Solver++
+half grid, the whole-trajectory Pallas kernel).  Distillation attacks the
+step COUNT itself: following Salimans & Ho, "Progressive Distillation for
+Fast Sampling of Diffusion Models" (ICLR 2022), a student with the same
+architecture is trained so ONE of its DDIM steps reproduces TWO teacher
+steps on an aligned half grid.  Iterating halves the trajectory
+(96 -> 48 -> 24 -> 12 -> 6): a full style transfer then costs 6 denoiser
+evaluations instead of 99, with the student absorbing the integration
+error the coarse grid would otherwise incur.
+
+TPU-first design notes:
+
+* one jitted, donated step per stage: teacher double-step, closed-form
+  x0-target solve, student forward + backward, Adam update — all in one
+  device program (the teacher needs no gradient, so its two UNet calls
+  are plain forwards under ``stop_gradient``-free data flow: its params
+  simply aren't differentiated);
+* the timestep-pair grid is a static per-stage table; per-sample segment
+  indices are drawn on device and gathered from it, so every stage is
+  one compiled graph with no host round trips inside the loop;
+* only the ``unet`` parameter subtree is trained (optax mask): encoder /
+  decoder / style encoder stay frozen, so teacher and student share the
+  same latent space and style embeddings by construction, and the frozen
+  BatchNorm statistics stay exactly the reference's eval-mode semantics
+  (ref: models/model.py:346-347);
+* stages recompile (the grid length is static), but each stage's graph is
+  far smaller than the LDM train step (no perceptual trunks), and the
+  persistent compilation cache makes reruns free.
+
+The distilled checkpoint is a regular full-LDM checkpoint payload (loads
+via models/ldm.py:load_ldm) with an extra ``distill`` metadata dict; a
+student distilled to N steps is sampled with
+``content_style_transfer(..., steps=N + 1)`` — ``transfer_time_grid``
+produces exactly the grid the student was trained on.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_style_transfer_ldm_tpu.diffusion.ddim import transfer_time_grid
+from music_style_transfer_ldm_tpu.models.ldm import LDM
+from music_style_transfer_ldm_tpu.parallel.mesh import make_mesh
+from music_style_transfer_ldm_tpu.parallel.sharding import (
+    batch_validity_weights, shard_batch, shard_params,
+)
+from music_style_transfer_ldm_tpu.training import checkpoint as ckpt_lib
+from music_style_transfer_ldm_tpu.training.metrics import MetricLogger
+from music_style_transfer_ldm_tpu.training.optim import make_optimizer
+from music_style_transfer_ldm_tpu.training.state import (
+    TrainState, as_unit_images, prefetch_to_device,
+)
+
+
+def ddim_step(z_t: jax.Array, eps_hat: jax.Array, ab_t: jax.Array,
+              ab_s: jax.Array) -> jax.Array:
+    """One deterministic DDIM update (eta=0) with per-sample alpha-bars.
+
+    Same update rule as diffusion/ddim.py:87-91 (ref: model.py:446-458),
+    factored out so the distillation target algebra and the sampler can
+    never drift apart.  ab_* are broadcastable to z_t (e.g. [B, 1, 1, 1]).
+    """
+    x0_hat = (z_t - jnp.sqrt(1.0 - ab_t) * eps_hat) / jnp.sqrt(ab_t)
+    return jnp.sqrt(ab_s) * x0_hat + jnp.sqrt(1.0 - ab_s) * eps_hat
+
+
+def solve_x0_target(z_t: jax.Array, z_ss: jax.Array, ab_t: jax.Array,
+                    ab_s: jax.Array) -> jax.Array:
+    """Invert one DDIM step: the x0 a single t->s step needs to land on z_ss.
+
+    From z_s = sqrt(ab_s) x0 + sqrt(1-ab_s) eps with
+    eps = (z_t - sqrt(ab_t) x0) / sqrt(1-ab_t):
+
+        x0 = (z_ss - c z_t) / (sqrt(ab_s) - c sqrt(ab_t)),
+        c  = sqrt((1-ab_s) / (1-ab_t)).
+
+    The denominator is strictly positive for s < t (ab_s > ab_t and
+    c < 1).  This is the Salimans-Ho single-step target with the DDIM
+    parameterization; tests/test_distill.py checks the round trip is
+    exact: ddim_step(z_t, eps(x0_target), ...) == z_ss.
+    """
+    c = jnp.sqrt((1.0 - ab_s) / (1.0 - ab_t))
+    return (z_ss - c * z_t) / (jnp.sqrt(ab_s) - c * jnp.sqrt(ab_t))
+
+
+def distill_stage_grids(t_max: int, n_teacher_steps: int
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """(teacher_grid, student_grid) for one stage.
+
+    The teacher grid has n_teacher_steps updates (n+1 linspace points over
+    [t_max-1, 0], identical to transfer_time_grid); the student grid is
+    every other point.  n_teacher_steps must be even so the endpoints
+    align; because linspace(a, 0, n+1)[::2] == linspace(a, 0, n//2+1)
+    exactly (same real values, so equal after the int floor), a student
+    distilled here samples bit-identically via
+    content_style_transfer(steps=n//2 + 1).
+    """
+    if n_teacher_steps % 2:
+        raise ValueError(f"teacher steps must be even, got {n_teacher_steps}")
+    teacher = transfer_time_grid(t_max, n_teacher_steps + 1)
+    student = teacher[::2]
+    expected = transfer_time_grid(t_max, n_teacher_steps // 2 + 1)
+    assert np.array_equal(student, expected)
+    return teacher, student
+
+
+def _train_unet_only_mask(params):
+    """True (frozen) for every subtree except the UNet."""
+    return {k: jax.tree_util.tree_map(lambda _: k != "unet", v)
+            for k, v in params.items()}
+
+
+class ProgressiveDistiller:
+    """Halve the sampler grid stage by stage (96 -> 48 -> ... -> final).
+
+    Built against the same config/loader/checkpoint plumbing as
+    training/train_ldm.py; consumes the pair loader's
+    ((content, _), (style, _)) batches.
+    """
+
+    def __init__(self, config, mesh=None, t_max: Optional[int] = None):
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh(
+            config.mesh.mesh_shape)
+        cm, cd, ct = config.model, config.diffusion, config.train
+        self.model = LDM(latent_dim=cm.latent_dim,
+                         num_timesteps=cd.num_timesteps,
+                         beta_start=cd.beta_start, beta_end=cd.beta_end,
+                         unet_num_filters=cm.unet_num_filters,
+                         style_num_filters=cm.style_num_filters,
+                         dtype=jnp.dtype(ct.compute_dtype))
+        # Transfer walks the first `transfer_timesteps` of the schedule
+        # (SDEdit, ref: model.py:514); distill over that same range.
+        self.t_max = int(t_max if t_max is not None
+                         else getattr(cd, "transfer_timesteps", 100))
+
+    # ---------------- jitted stage step ------------------------------------
+
+    def _stage_step_fn(self, teacher_grid: np.ndarray, lr: float):
+        """Build (step_fn, tx) for one stage; teacher_grid is static."""
+        grid = jnp.asarray(teacher_grid, jnp.int32)
+        n_student = (len(teacher_grid) - 1) // 2
+        sched = self.model.schedule
+        model = self.model
+        tx = make_optimizer("adam", learning_rate=lr,
+                            freeze_mask=_train_unet_only_mask)
+
+        def ab(t, ndim):
+            return sched.alpha_bars[t].reshape(t.shape + (1,) * (ndim - 1))
+
+        def step(state: TrainState, teacher_params, content, style, key,
+                 weights=None):
+            ikey, nkey = jax.random.split(key)
+            content = as_unit_images(content).astype(jnp.float32)
+            style = as_unit_images(style).astype(jnp.float32)
+            batch = content.shape[0]
+            frozen = {"params": teacher_params,
+                      "batch_stats": state.batch_stats}
+
+            # Per-sample student segment: one student step t -> s spans the
+            # teacher pair (t, t_mid, s) at grid indices (2i, 2i+1, 2i+2).
+            i = jax.random.randint(ikey, (batch,), 0, n_student)
+            t, t_mid, s = grid[2 * i], grid[2 * i + 1], grid[2 * i + 2]
+
+            z0 = model.apply(frozen, content, method=LDM.encode)
+            z0 = z0.astype(jnp.float32)
+            emb = model.apply(frozen, style, method=LDM.style_embed)
+            nd = z0.ndim
+            eps = jax.random.normal(nkey, z0.shape, jnp.float32)
+            z_t = (jnp.sqrt(ab(t, nd)) * z0
+                   + jnp.sqrt(1.0 - ab(t, nd)) * eps)
+
+            def eps_of(params, z, tv):
+                var = {"params": params, "batch_stats": state.batch_stats}
+                return model.apply(var, z, tv, emb,
+                                   method=LDM.denoise).astype(jnp.float32)
+
+            # Teacher: two DDIM steps on its grid (no gradient flows — the
+            # teacher params are not the differentiated argument).
+            z_mid = ddim_step(z_t, eps_of(teacher_params, z_t, t),
+                              ab(t, nd), ab(t_mid, nd))
+            z_ss = ddim_step(z_mid, eps_of(teacher_params, z_mid, t_mid),
+                             ab(t_mid, nd), ab(s, nd))
+            x0_target = solve_x0_target(z_t, z_ss, ab(t, nd), ab(s, nd))
+
+            # Truncated-SNR weighting (Salimans-Ho eq. 9): at low noise the
+            # x0-MSE is scaled back up to an eps-MSE; at high noise plain
+            # x0-MSE.  Per-sample, capped below at 1.
+            ab_t_flat = sched.alpha_bars[t]
+            w_snr = jnp.maximum(ab_t_flat / (1.0 - ab_t_flat), 1.0)
+            if weights is not None:
+                w_snr = w_snr * weights
+
+            def loss_fn(params):
+                eps_s = eps_of(params, z_t, t)
+                x0_s = (z_t - jnp.sqrt(1.0 - ab(t, nd)) * eps_s) \
+                    / jnp.sqrt(ab(t, nd))
+                per = jnp.mean(jnp.square(x0_s - x0_target),
+                               axis=tuple(range(1, nd)))
+                return jnp.sum(w_snr * per) / jnp.maximum(
+                    jnp.sum(weights) if weights is not None
+                    else jnp.float32(batch), 1.0)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                            state.params, updates)
+            new_state = TrainState(params=params,
+                                   batch_stats=state.batch_stats,
+                                   opt_state=opt_state,
+                                   step=state.step + 1)
+            return new_state, {"distill_loss": loss}
+
+        return jax.jit(step, donate_argnums=(0,)), tx
+
+    # ---------------- stage/driver loop ------------------------------------
+
+    def distill(self, variables: dict, train_loader,
+                stages: Sequence[int] = (96, 48, 24, 12, 6),
+                steps_per_stage: int = 400, lr: float = 1e-4,
+                out_dir: str | Path = "runs/distill",
+                seed: int = 0) -> tuple[dict, dict]:
+        """Run the full halving schedule.
+
+        variables: full-LDM {"params", "batch_stats"} (the converged
+        teacher).  stages: teacher step counts; stage k distills a student
+        with stages[k]//2 steps which becomes stage k+1's teacher, so
+        consecutive entries must halve.  Returns (distilled_variables,
+        info); intermediate students are checkpointed per stage, so every
+        step count in the cascade stays usable.
+        """
+        stages = [int(n) for n in stages]
+        for a, b in zip(stages, stages[1:]):
+            if b != a // 2:
+                raise ValueError(f"stages must halve: {a} -> {b}")
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        logger = MetricLogger(out_dir / "distill_metrics.csv")
+
+        params = shard_params(jax.tree_util.tree_map(jnp.asarray,
+                                                     variables["params"]),
+                              self.mesh)
+        batch_stats = shard_params(
+            jax.tree_util.tree_map(jnp.asarray, variables["batch_stats"]),
+            self.mesh)
+        n_data = self.mesh.shape["data"]
+        base_key = jax.random.PRNGKey(seed + 777)
+        history = []
+
+        for stage_idx, n_teacher in enumerate(stages):
+            teacher_grid, _ = distill_stage_grids(self.t_max, n_teacher)
+            step_fn, tx = self._stage_step_fn(teacher_grid, lr)
+            teacher_params = params
+            state = TrainState(
+                params=jax.tree_util.tree_map(jnp.array, teacher_params),
+                batch_stats=batch_stats, opt_state=tx.init(teacher_params),
+                step=jnp.zeros((), jnp.int32))
+
+            done, losses, t0 = 0, [], time.time()
+            while done < steps_per_stage:
+                def place(batch):
+                    (content, _), (style, _) = batch
+                    w = batch_validity_weights(len(content), n_data,
+                                               self.mesh)
+                    return (shard_batch(jnp.asarray(content), self.mesh),
+                            shard_batch(jnp.asarray(style), self.mesh), w)
+
+                for content, style, w in prefetch_to_device(train_loader,
+                                                            place):
+                    key = jax.random.fold_in(
+                        base_key, stage_idx * 1_000_000 + done)
+                    state, metrics = step_fn(state, teacher_params,
+                                             content, style, key, w)
+                    losses.append(metrics["distill_loss"])
+                    done += 1
+                    if done >= steps_per_stage:
+                        break
+
+            # The donated step consumed the stage-entry arrays; the live
+            # batch_stats are the ones threaded through the final state.
+            batch_stats = state.batch_stats
+            losses = [float(v) for v in jax.device_get(losses)]
+            n_student = n_teacher // 2
+            head = float(np.mean(losses[:20]))
+            tail = float(np.mean(losses[-20:]))
+            logger.log(epoch=stage_idx, teacher_steps=n_teacher,
+                       student_steps=n_student, steps=done,
+                       loss_head=head, loss_tail=tail,
+                       seconds=time.time() - t0)
+            history.append({"teacher_steps": n_teacher,
+                            "student_steps": n_student,
+                            "loss_head": head, "loss_tail": tail})
+            params = state.params
+            ckpt_lib.save_pytree(
+                out_dir / f"distilled_{n_student}",
+                {"params": jax.device_get(params),
+                 "batch_stats": jax.device_get(batch_stats),
+                 "format_version": np.asarray(ckpt_lib.FORMAT_VERSION),
+                 "distill": {"steps": n_student, "t_max": self.t_max,
+                             "stages": stages[:stage_idx + 1]}})
+
+        info = {"steps": stages[-1] // 2, "t_max": self.t_max,
+                "stages": stages, "history": history}
+        return ({"params": params, "batch_stats": batch_stats}, info)

@@ -15,6 +15,9 @@ def test_parser_subcommands():
     args = p.parse_args(["transfer", "--checkpoint", "c", "--content", "a",
                          "--style", "b"])
     assert args.steps == 100 and args.eta == 0.0
+    args = p.parse_args(["distill", "--checkpoint", "c",
+                         "--stages", "8,4"])
+    assert args.stages == "8,4" and args.t_max == 100
     with pytest.raises(SystemExit):
         p.parse_args(["train"])  # --model required
     with pytest.raises(SystemExit):

@@ -1,0 +1,142 @@
+"""Progressive distillation (training/distill.py): target algebra is an
+exact DDIM inverse, stage grids align with the sampler's, and the full
+cascade trains, checkpoints, and produces a student the standard transfer
+path can run at the distilled step count."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from music_style_transfer_ldm_tpu.config import default_config
+from music_style_transfer_ldm_tpu.diffusion.ddim import transfer_time_grid
+from music_style_transfer_ldm_tpu.models.ldm import (
+    LDM, content_style_transfer,
+)
+from music_style_transfer_ldm_tpu.parallel import make_mesh
+from music_style_transfer_ldm_tpu.training import checkpoint as ckpt_lib
+from music_style_transfer_ldm_tpu.training.distill import (
+    ProgressiveDistiller, ddim_step, distill_stage_grids, solve_x0_target,
+)
+
+
+def tiny_config():
+    cfg = default_config()
+    cfg.train = dataclasses.replace(cfg.train, batch_size=8,
+                                    compute_dtype="float32")
+    cfg.model = dataclasses.replace(cfg.model, image_size=64)
+    return cfg
+
+
+def test_solve_x0_target_inverts_ddim(rng):
+    """For any (z_t, z_ss) pair, one DDIM step from z_t with the epsilon
+    implied by the solved x0 target lands exactly on z_ss."""
+    z_t = jnp.asarray(rng.randn(4, 8, 8, 2).astype(np.float32))
+    z_ss = jnp.asarray(rng.randn(4, 8, 8, 2).astype(np.float32))
+    ab_t = jnp.asarray(rng.uniform(0.05, 0.6, (4, 1, 1, 1))
+                       .astype(np.float32))
+    # s < t in the denoising walk means LESS noise: ab_s > ab_t.
+    ab_s = ab_t + jnp.asarray(rng.uniform(0.05, 0.3, (4, 1, 1, 1))
+                              .astype(np.float32))
+    x0 = solve_x0_target(z_t, z_ss, ab_t, ab_s)
+    eps = (z_t - jnp.sqrt(ab_t) * x0) / jnp.sqrt(1.0 - ab_t)
+    z_back = ddim_step(z_t, eps, ab_t, ab_s)
+    np.testing.assert_allclose(np.asarray(z_back), np.asarray(z_ss),
+                               atol=1e-5)
+
+
+def test_ddim_step_matches_sampler_update():
+    """ddim_step reproduces diffusion/ddim.py's eta=0 update bit-for-bit
+    on a real schedule (shared-formula guard)."""
+    from music_style_transfer_ldm_tpu.diffusion.ddim import ddim_sample
+    from music_style_transfer_ldm_tpu.diffusion.schedule import (
+        DiffusionSchedule,
+    )
+    sched = DiffusionSchedule.create(200)
+    z = jnp.asarray(np.random.RandomState(0).randn(2, 4, 4, 3)
+                    .astype(np.float32))
+    eps_const = jnp.full_like(z, 0.37)
+    times = jnp.asarray([90, 60, 30], jnp.int32)
+    out, _ = ddim_sample(lambda x, t: eps_const, sched, z, times)
+    x = z
+    for t, s in [(90, 60), (60, 30)]:
+        x = ddim_step(x, eps_const, sched.alpha_bars[t],
+                      sched.alpha_bars[s])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+def test_distill_stage_grids_align():
+    teacher, student = distill_stage_grids(100, 96)
+    assert len(teacher) == 97 and len(student) == 49
+    np.testing.assert_array_equal(student, teacher[::2])
+    # The student grid IS the sampler's grid at steps = n//2 + 1, so a
+    # distilled student runs through the stock transfer path.
+    np.testing.assert_array_equal(student, transfer_time_grid(100, 49))
+    with pytest.raises(ValueError, match="even"):
+        distill_stage_grids(100, 7)
+
+
+def test_progressive_distill_cascade(tmp_path, rng):
+    """Two halving stages on a fresh tiny model: loss is finite and
+    decreases within a stage, only the UNet subtree changes, per-stage
+    checkpoints load back, and the final student runs through the stock
+    transfer path at its distilled step count."""
+    cfg = tiny_config()
+    mesh = make_mesh((-1, 1))
+    dist = ProgressiveDistiller(cfg, mesh=mesh, t_max=100)
+
+    S = cfg.model.image_size
+    x = jnp.zeros((1, S, S, 1))
+    variables = dist.model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        x, x, jnp.zeros((1,), jnp.int32))
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+
+    def batch():
+        c = rng.rand(8, S, S, 1).astype(np.float32)
+        s = rng.rand(8, S, S, 1).astype(np.float32)
+        return ((c, [0] * 8), (s, [0] * 8))
+
+    loader = [batch() for _ in range(2)]
+    out, info = dist.distill(variables, loader, stages=(4, 2),
+                             steps_per_stage=24, lr=1e-3,
+                             out_dir=tmp_path, seed=0)
+
+    assert info["steps"] == 1 and info["stages"] == [4, 2]
+    for st in info["history"]:
+        assert np.isfinite(st["loss_head"]) and np.isfinite(st["loss_tail"])
+    # Distillation should make clear progress from a random student even
+    # in a handful of steps (the target is a smooth function of the
+    # teacher the student starts equal to only on the FINE grid).
+    assert info["history"][0]["loss_tail"] < info["history"][0]["loss_head"]
+
+    # Frozen subtrees are bit-identical; the UNet moved.
+    for comp in ("encoder", "decoder", "style_encoder"):
+        before = jax.tree_util.tree_leaves(variables["params"][comp])
+        after = jax.tree_util.tree_leaves(out["params"][comp])
+        assert all(np.array_equal(np.asarray(a), np.asarray(b))
+                   for a, b in zip(before, after))
+    moved = [not np.array_equal(np.asarray(a), np.asarray(b))
+             for a, b in zip(
+                 jax.tree_util.tree_leaves(variables["params"]["unet"]),
+                 jax.tree_util.tree_leaves(out["params"]["unet"]))]
+    assert any(moved)
+
+    # Per-stage checkpoints exist and carry metadata.
+    for n in (2, 1):
+        payload = ckpt_lib.restore_pytree(tmp_path / f"distilled_{n}")
+        assert payload["distill"]["steps"] == n
+        assert payload["distill"]["t_max"] == 100
+
+    # The final student samples through the UNCHANGED product path on its
+    # own grid: steps = distilled_steps + 1 grid points.
+    content = jnp.asarray(rng.rand(2, S, S, 1).astype(np.float32))
+    style = jnp.asarray(rng.rand(2, S, S, 1).astype(np.float32))
+    decoded, z_t_dec, _ = content_style_transfer(
+        dist.model, out, jax.random.PRNGKey(3), content, style,
+        num_timesteps=100, steps=info["steps"] + 1)
+    assert decoded.shape == (2, S, S, 1)
+    assert np.all(np.isfinite(np.asarray(decoded)))
