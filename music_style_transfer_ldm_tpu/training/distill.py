@@ -251,8 +251,11 @@ class ProgressiveDistiller:
         params = shard_params(jax.tree_util.tree_map(jnp.asarray,
                                                      variables["params"]),
                               self.mesh)
+        # jnp.array (copy=True): batch_stats ride inside the donated
+        # TrainState, so aliasing the caller's live arrays would delete
+        # them out from under the caller on the first step.
         batch_stats = shard_params(
-            jax.tree_util.tree_map(jnp.asarray, variables["batch_stats"]),
+            jax.tree_util.tree_map(jnp.array, variables["batch_stats"]),
             self.mesh)
         n_data = self.mesh.shape["data"]
         base_key = jax.random.PRNGKey(seed + 777)
