@@ -84,10 +84,15 @@ def cmd_train(args) -> int:
     from music_style_transfer_ldm_tpu.training import AETrainer, LDMTrainer
     from music_style_transfer_ldm_tpu.training import checkpoint as ckpt_lib
 
+    import dataclasses
     cfg = default_config()
     if args.epochs:
-        import dataclasses
         cfg.train = dataclasses.replace(cfg.train, num_epochs=args.epochs)
+    if getattr(args, "style_dropout", 0.0):
+        cfg.train = dataclasses.replace(cfg.train,
+                                        style_dropout=args.style_dropout)
+    if getattr(args, "lr", None):
+        cfg.train = dataclasses.replace(cfg.train, learning_rate=args.lr)
     root = args.data_root or cfg.data.processed_dir
 
     if args.model == "autoencoder":
@@ -173,6 +178,10 @@ def cmd_generate(args) -> int:
     lat = cfg.model.image_size // 8
     z_shape = (1, lat, lat, cfg.model.latent_dim)
     if args.sampler in ("fused", "fused-dpm++"):
+        if args.guidance != 1.0:
+            raise SystemExit("--guidance needs the scan samplers "
+                             "(ddim/dpm++); the fused trajectory kernel "
+                             "runs the single conditional branch only")
         from music_style_transfer_ldm_tpu.ops.pallas.fused_sampler import (
             fused_style_sample,
         )
@@ -183,7 +192,8 @@ def cmd_generate(args) -> int:
     else:
         decoded, _ = style_ddim_sample(
             model, variables, jax.random.PRNGKey(args.seed), z_shape, style,
-            timesteps=args.steps, eta=args.eta, sampler=args.sampler)
+            timesteps=args.steps, eta=args.eta, sampler=args.sampler,
+            guidance=args.guidance)
     _save_outputs(np.asarray(decoded[0, :, :, 0]), args.output, ap)
     return 0
 
@@ -232,6 +242,10 @@ def cmd_transfer(args) -> int:
     style = np.repeat(_load_image_or_audio(args.style, ap),
                       content.shape[0], axis=0)
     if args.sampler in ("fused", "fused-dpm++"):
+        if args.guidance != 1.0:
+            raise SystemExit("--guidance needs the scan samplers "
+                             "(ddim/dpm++); the fused trajectory kernel "
+                             "runs the single conditional branch only")
         # Multi-chunk clips run the BATCHED fused trajectory kernel in
         # groups of FUSED_BUCKET_MAX (the measured win region; at most two
         # compiles: one full group + one remainder group).  Per-chunk keys
@@ -265,7 +279,8 @@ def cmd_transfer(args) -> int:
         decoded, _, _ = content_style_transfer(
             model, variables, jax.random.PRNGKey(args.seed),
             content, style, num_timesteps=args.steps, eta=args.eta,
-            sampler=args.sampler, steps=args.sample_steps)
+            sampler=args.sampler, steps=args.sample_steps,
+            guidance=args.guidance)
     if args.match_level:
         from music_style_transfer_ldm_tpu.models.ldm import match_moments
         import jax.numpy as jnp
@@ -366,6 +381,7 @@ def cmd_serve(args) -> int:
     cfg = default_config()
     ecfg = EngineConfig(steps=args.steps, sampler=args.sampler,
                         sample_steps=args.sample_steps,
+                        guidance=args.guidance,
                         batch_buckets=tuple(args.buckets),
                         max_wait_ms=args.max_wait_ms,
                         autoscale=args.autoscale)
@@ -465,6 +481,14 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--pretrained-ae",
                    help="autoencoder checkpoint to load & freeze")
     t.add_argument("--epochs", type=int)
+    t.add_argument("--lr", type=float, default=None,
+                   help="override the initial learning rate (e.g. resume a "
+                        "finetune at the converged run's decayed LR "
+                        "instead of the config default)")
+    t.add_argument("--style-dropout", type=float, default=0.0,
+                   help="LDM only: per-sample probability of zeroing the "
+                        "style embedding (classifier-free-guidance "
+                        "training; enables transfer --guidance)")
     t.add_argument("--out-dir", default="runs/train")
     t.add_argument("--resume-from",
                    help="full train-state checkpoint to resume from")
@@ -479,8 +503,11 @@ def build_parser() -> argparse.ArgumentParser:
     dl.add_argument("--pairing-file")
     dl.add_argument("--out-dir", default="runs/distill")
     dl.add_argument("--stages", default="96,48,24,12,6",
-                    help="comma-separated teacher step counts; consecutive "
-                         "entries must halve (final student = last//2)")
+                    help="comma-separated teacher step counts; each entry "
+                         "distills a student with the NEXT entry's step "
+                         "count (integer factor >= 2); the final student "
+                         "= last//2, or 1 when the last entry is odd "
+                         "(e.g. 48,24,12,6,3 ends at one denoiser eval)")
     dl.add_argument("--steps-per-stage", type=int, default=400)
     dl.add_argument("--lr", type=float, default=1e-4)
     dl.add_argument("--batch-size", type=int)
@@ -503,6 +530,11 @@ def build_parser() -> argparse.ArgumentParser:
                      choices=["ddim", "dpm++", "fused", "fused-dpm++"],
                      default="ddim")
     gen.add_argument("--seed", type=int, default=0)
+    gen.add_argument("--guidance", type=float, default=1.0,
+                     help="classifier-free style-guidance scale (0 = "
+                          "unconditional, 1 = plain conditional, > 1 = "
+                          "amplified style; needs a checkpoint trained "
+                          "with style_dropout > 0)")
     gen.add_argument("--output", default="outputs/generated")
     gen.set_defaults(fn=cmd_generate)
 
@@ -525,6 +557,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "pairs with --sampler dpm++/fused-dpm++ for ~2x "
                          "fewer denoiser evaluations")
     tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--guidance", type=float, default=1.0,
+                    help="classifier-free style-strength knob (0 = ignore "
+                         "style, 1 = plain conditional, > 1 = amplified "
+                         "style; needs a checkpoint trained with "
+                         "style_dropout > 0; scan samplers only)")
     tr.add_argument("--overlap", type=float, default=0.0,
                     help="fraction in [0, 1): process overlapping 3 s "
                          "chunks and crossfade the seams (removes the "
@@ -567,6 +604,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "update)")
     sv.add_argument("--sample-steps", type=int, default=None,
                     help="coarse sampler grid (< --steps noising depth)")
+    sv.add_argument("--guidance", type=float, default=1.0,
+                    help="classifier-free style-guidance scale (scan "
+                         "samplers only; needs style_dropout-trained "
+                         "weights)")
     sv.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4, 8])
     sv.add_argument("--mesh-dp", type=int, default=1,
                     help="shard every serving bucket over this many "

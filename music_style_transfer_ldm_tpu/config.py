@@ -74,6 +74,11 @@ class TrainConfig:
     # gradient.  True reproduces that; False lets the style term train.
     style_loss_stop_gradient: bool = True
     training_iteration_noise: int = 50  # ref: config.py:18 (vestigial scaling)
+    # Classifier-free-guidance training (no reference counterpart):
+    # fraction of samples whose style embedding is zeroed each step, so
+    # the UNet also learns an unconditional prediction and sampling can
+    # take a `guidance` style-strength knob (models/ldm.py:_denoise_fn).
+    style_dropout: float = 0.0
     train_split: float = 0.8          # ref: dataset.py:309
     seed: int = 0
     ckpt_every_epochs: int = 100      # ref: train.py:270

@@ -86,7 +86,8 @@ class LDM(nn.Module):
     def __call__(self, x: jax.Array, style: jax.Array, t: jax.Array,
                  train: bool = False,
                  frozen_encoder: bool = False,
-                 sample_weights: Optional[jax.Array] = None
+                 sample_weights: Optional[jax.Array] = None,
+                 style_drop_mask: Optional[jax.Array] = None
                  ) -> Dict[str, jax.Array]:
         """Returns {z_t, noise, noise_pred, z_0, reconstructed}.
 
@@ -96,6 +97,13 @@ class LDM(nn.Module):
         split (ref: model.py:346-347).  sample_weights is an optional [B]
         validity vector excluding data-parallel pad rows from train-mode
         batch statistics (see parallel/sharding.py).
+
+        style_drop_mask is an optional [B] vector (1 = drop) that zeroes
+        the style-embedding pyramid for the masked samples — classifier-
+        free-guidance training (Ho & Salimans 2022): the UNet learns an
+        unconditional prediction alongside the conditional one, enabling
+        a continuous style-strength knob at sampling time (``guidance=``
+        in content_style_transfer).  No reference counterpart.
         """
         sched = self.schedule
         x = x.astype(jnp.float32)
@@ -104,6 +112,11 @@ class LDM(nn.Module):
         z_0 = self.encoder(x, train=train and not frozen_encoder,
                            sample_weights=sample_weights)
         style_embedding = self.style_encoder(style)
+        if style_drop_mask is not None:
+            keep = (1.0 - style_drop_mask.astype(jnp.float32)
+                    ).reshape((-1, 1, 1, 1))
+            style_embedding = jax.tree_util.tree_map(
+                lambda e: e * keep.astype(e.dtype), style_embedding)
         key = self.make_rng("diffusion")
         z_t, noise = sched.q_sample(key, z_0.astype(jnp.float32), t)
         noise_pred = self.unet(z_t, t, style_embedding)
@@ -129,10 +142,37 @@ class LDM(nn.Module):
 # a fresh denoise closure per call would defeat jax's jit cache.
 
 
-def _denoise_fn(model: LDM, variables, style_embedding):
+def _denoise_fn(model: LDM, variables, style_embedding,
+                guidance: float = 1.0):
+    """Bind params + style embedding into an (x, t[B]) -> eps predictor.
+
+    guidance != 1.0 applies classifier-free guidance (Ho & Salimans
+    2022): eps = eps_uncond + g * (eps_cond - eps_uncond), with the
+    unconditional branch a zeroed style pyramid (exactly what
+    ``style_drop_mask`` zeroes during training).  The two branches run as
+    ONE UNet call on a 2B batch — on TPU that keeps every conv a single
+    larger MXU matmul instead of two kernel launches.  g=0 is fully
+    unconditional, g=1 conditional (and takes the single-branch fast
+    path), g>1 amplifies the style.
+    """
+    if guidance == 1.0:
+        def fn(x, t):
+            return model.apply(variables, x, t, style_embedding,
+                               method=LDM.denoise).astype(jnp.float32)
+        return fn
+
+    null_embedding = jax.tree_util.tree_map(jnp.zeros_like, style_embedding)
+
     def fn(x, t):
-        return model.apply(variables, x, t, style_embedding,
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        emb2 = jax.tree_util.tree_map(
+            lambda c, u: jnp.concatenate([c, u], axis=0),
+            style_embedding, null_embedding)
+        eps2 = model.apply(variables, x2, t2, emb2,
                            method=LDM.denoise).astype(jnp.float32)
+        eps_c, eps_u = jnp.split(eps2, 2, axis=0)
+        return eps_u + guidance * (eps_c - eps_u)
     return fn
 
 
@@ -157,17 +197,19 @@ def _run_sampler(sampler: str, denoise_fn, sched, z_t, times, eta,
 
 @functools.partial(jax.jit,
                    static_argnames=("model", "timesteps", "eta",
-                                    "return_logs", "z_shape", "sampler"))
+                                    "return_logs", "z_shape", "sampler",
+                                    "guidance"))
 def _style_sample_impl(model: LDM, variables, key, z_shape, style_spec,
-                       timesteps, eta, return_logs, sampler="ddim"):
+                       timesteps, eta, return_logs, sampler="ddim",
+                       guidance=1.0):
     sched = model.schedule
     z_t = jax.random.normal(key, z_shape, jnp.float32)
     style_embedding = model.apply(variables, style_spec,
                                   method=LDM.style_embed)
     times = generation_time_grid(model.num_timesteps, timesteps)
     sampled, logs = _run_sampler(
-        sampler, _denoise_fn(model, variables, style_embedding), sched,
-        z_t, times, eta, return_logs)
+        sampler, _denoise_fn(model, variables, style_embedding, guidance),
+        sched, z_t, times, eta, return_logs)
     decoded = model.apply(variables, sampled, method=LDM.decode)
     decoded = (decoded.astype(jnp.float32) + 1.0) / 2.0
     return decoded, logs
@@ -177,25 +219,30 @@ def style_ddim_sample(model: LDM, variables, key: jax.Array,
                       z_shape: Tuple[int, ...], style_spec: jax.Array,
                       timesteps: int = 100, eta: float = 0.0,
                       return_logs: bool = False,
-                      sampler: str = "ddim"
+                      sampler: str = "ddim",
+                      guidance: float = 1.0
                       ) -> Tuple[jax.Array, Optional[dict]]:
     """Style-conditioned generation from pure noise
     (ref: model.py:382-407 style_ddim_sample_wrapper).
 
     Returns decoded spectrogram images in [0, 1] (NHWC).
     sampler='dpm++' runs DPM-Solver++(2M) on the same grid.
+    guidance != 1 applies classifier-free style guidance (needs a model
+    trained/finetuned with style_dropout > 0; see _denoise_fn).
     """
     return _style_sample_impl(model, variables, key, tuple(z_shape),
                               style_spec.astype(jnp.float32), timesteps,
-                              float(eta), return_logs, sampler)
+                              float(eta), return_logs, sampler,
+                              float(guidance))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("model", "num_timesteps", "eta",
-                                    "return_logs", "sampler", "steps"))
+                                    "return_logs", "sampler", "steps",
+                                    "guidance"))
 def _transfer_impl(model: LDM, variables, key, content_spec, style_spec,
                    num_timesteps, eta, return_logs, sampler="ddim",
-                   steps=None):
+                   steps=None, guidance=1.0):
     sched = model.schedule
     z_0 = model.apply(variables, content_spec.astype(jnp.float32),
                       method=LDM.encode).astype(jnp.float32)
@@ -214,8 +261,8 @@ def _transfer_impl(model: LDM, variables, key, content_spec, style_spec,
                                   method=LDM.style_embed)
     times = transfer_time_grid(num_timesteps, steps)
     sampled, logs = _run_sampler(
-        sampler, _denoise_fn(model, variables, style_embedding), sched,
-        z_t, times, eta, return_logs)
+        sampler, _denoise_fn(model, variables, style_embedding, guidance),
+        sched, z_t, times, eta, return_logs)
 
     decoded = model.apply(variables, sampled, method=LDM.decode)
     decoded = (decoded.astype(jnp.float32) + 1.0) / 2.0
@@ -228,7 +275,8 @@ def content_style_transfer(model: LDM, variables, key: jax.Array,
                            num_timesteps: int = 100, eta: float = 0.0,
                            return_logs: bool = False,
                            sampler: str = "ddim",
-                           steps: Optional[int] = None
+                           steps: Optional[int] = None,
+                           guidance: float = 1.0
                            ) -> Tuple[jax.Array, jax.Array, Optional[dict]]:
     """SDEdit-style content+style transfer — the product path
     (ref: model.py:468-501 content_style_transfer_wrapper).
@@ -245,6 +293,11 @@ def content_style_transfer(model: LDM, variables, key: jax.Array,
     sampler='dpm++' (DPM-Solver++(2M)) with steps < num_timesteps walks a
     coarse grid: ~half the denoiser evaluations for the same ODE accuracy
     as the unit-step DDIM walk (diffusion/dpm.py).
+
+    guidance != 1 applies classifier-free style guidance — a continuous
+    style-strength knob (0 = ignore style, 1 = plain conditional,
+    > 1 = amplified style) for models trained/finetuned with
+    style_dropout > 0.  Costs one extra UNet batch-double per step.
     """
     if num_timesteps > model.num_timesteps:
         raise ValueError(
@@ -254,7 +307,8 @@ def content_style_transfer(model: LDM, variables, key: jax.Array,
                           content_spec.astype(jnp.float32),
                           style_spec.astype(jnp.float32), num_timesteps,
                           float(eta), return_logs, sampler,
-                          None if steps is None else int(steps))
+                          None if steps is None else int(steps),
+                          float(guidance))
 
 
 def match_moments(imgs: jax.Array, reference: jax.Array,

@@ -47,6 +47,11 @@ class EngineConfig:
     # per-seed noise stream, results equal to bf16 tolerance).
     sampler: str = "ddim"
     sample_steps: Optional[int] = None
+    # Classifier-free style-guidance scale (models/ldm.py:_denoise_fn);
+    # 1.0 = plain conditional.  Needs a checkpoint trained with
+    # style_dropout > 0 and a scan sampler (the fused kernel runs the
+    # conditional branch only — rejected at construction).
+    guidance: float = 1.0
     batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
     max_wait_ms: float = 5.0
     image_size: int = 128
@@ -85,6 +90,11 @@ class InferenceEngine:
         self.model = model
         self.mesh = mesh
         self.config = config or EngineConfig()
+        if (self.config.guidance != 1.0
+                and self.config.sampler in ("fused", "fused-dpm++")):
+            raise ValueError(
+                "guidance != 1 needs a scan sampler (ddim/dpm++); the "
+                "fused trajectory kernel runs the conditional branch only")
         if mesh is not None:
             from music_style_transfer_ldm_tpu.parallel.mesh import (
                 replicated_sharding,
@@ -152,7 +162,7 @@ class InferenceEngine:
                 decoded, _, _ = content_style_transfer(
                     self.model, self.variables, keys, content, style,
                     num_timesteps=cfg.steps, eta=cfg.eta, sampler=sampler,
-                    steps=cfg.sample_steps)
+                    steps=cfg.sample_steps, guidance=cfg.guidance)
             if cfg.match_level:
                 from music_style_transfer_ldm_tpu.models.ldm import (
                     match_moments,

@@ -93,23 +93,33 @@ def solve_x0_target(z_t: jax.Array, z_ss: jax.Array, ab_t: jax.Array,
     return (z_ss - c * z_t) / (jnp.sqrt(ab_s) - c * jnp.sqrt(ab_t))
 
 
-def distill_stage_grids(t_max: int, n_teacher_steps: int
+def distill_stage_grids(t_max: int, n_teacher_steps: int, factor: int = 2
                         ) -> tuple[np.ndarray, np.ndarray]:
     """(teacher_grid, student_grid) for one stage.
 
     The teacher grid has n_teacher_steps updates (n+1 linspace points over
     [t_max-1, 0], identical to transfer_time_grid); the student grid is
-    every other point.  n_teacher_steps must be even so the endpoints
-    align; because linspace(a, 0, n+1)[::2] == linspace(a, 0, n//2+1)
-    exactly (same real values, so equal after the int floor), a student
-    distilled here samples bit-identically via
-    content_style_transfer(steps=n//2 + 1).
+    every ``factor``-th point, so ONE student step spans ``factor``
+    consecutive teacher steps.  n_teacher_steps must be divisible by
+    factor so the endpoints align; because
+    linspace(a, 0, n+1)[::f] == linspace(a, 0, n//f+1) exactly (same real
+    values, so equal after the int floor), a student distilled here
+    samples bit-identically via content_style_transfer(steps=n//f + 1).
+
+    factor=2 is the classic Salimans-Ho halving; the final cascade stage
+    can use factor=n_teacher_steps to land on a ONE-step student from an
+    odd step count (e.g. 3 -> 1, where halving cannot go).
     """
-    if n_teacher_steps % 2:
-        raise ValueError(f"teacher steps must be even, got {n_teacher_steps}")
+    factor = int(factor)
+    if factor < 2:
+        raise ValueError(f"factor must be >= 2, got {factor}")
+    if n_teacher_steps % factor:
+        raise ValueError(
+            f"teacher steps must be divisible by the stage factor, got "
+            f"{n_teacher_steps} % {factor}")
     teacher = transfer_time_grid(t_max, n_teacher_steps + 1)
-    student = teacher[::2]
-    expected = transfer_time_grid(t_max, n_teacher_steps // 2 + 1)
+    student = teacher[::factor]
+    expected = transfer_time_grid(t_max, n_teacher_steps // factor + 1)
     assert np.array_equal(student, expected)
     return teacher, student
 
@@ -146,10 +156,18 @@ class ProgressiveDistiller:
 
     # ---------------- jitted stage step ------------------------------------
 
-    def _stage_step_fn(self, teacher_grid: np.ndarray, lr: float):
-        """Build (step_fn, tx) for one stage; teacher_grid is static."""
+    def _stage_step_fn(self, teacher_grid: np.ndarray, lr: float,
+                       factor: int = 2):
+        """Build (step_fn, tx) for one stage; teacher_grid is static.
+
+        One student step t -> s spans ``factor`` consecutive teacher DDIM
+        steps (factor=2 is classic halving).  The x0-target solve only
+        involves the segment ENDPOINTS, so the same closed form covers any
+        factor; the teacher walk is unrolled (factor is small and static).
+        """
         grid = jnp.asarray(teacher_grid, jnp.int32)
-        n_student = (len(teacher_grid) - 1) // 2
+        factor = int(factor)
+        n_student = (len(teacher_grid) - 1) // factor
         sched = self.model.schedule
         model = self.model
         tx = make_optimizer("adam", learning_rate=lr,
@@ -168,9 +186,9 @@ class ProgressiveDistiller:
                       "batch_stats": state.batch_stats}
 
             # Per-sample student segment: one student step t -> s spans the
-            # teacher pair (t, t_mid, s) at grid indices (2i, 2i+1, 2i+2).
+            # teacher grid points factor*i .. factor*i + factor.
             i = jax.random.randint(ikey, (batch,), 0, n_student)
-            t, t_mid, s = grid[2 * i], grid[2 * i + 1], grid[2 * i + 2]
+            t, s = grid[factor * i], grid[factor * i + factor]
 
             z0 = model.apply(frozen, content, method=LDM.encode)
             z0 = z0.astype(jnp.float32)
@@ -185,12 +203,14 @@ class ProgressiveDistiller:
                 return model.apply(var, z, tv, emb,
                                    method=LDM.denoise).astype(jnp.float32)
 
-            # Teacher: two DDIM steps on its grid (no gradient flows — the
-            # teacher params are not the differentiated argument).
-            z_mid = ddim_step(z_t, eps_of(teacher_params, z_t, t),
-                              ab(t, nd), ab(t_mid, nd))
-            z_ss = ddim_step(z_mid, eps_of(teacher_params, z_mid, t_mid),
-                             ab(t_mid, nd), ab(s, nd))
+            # Teacher: `factor` DDIM steps on its grid (no gradient flows —
+            # the teacher params are not the differentiated argument).
+            z_ss = z_t
+            for j in range(factor):
+                tj = grid[factor * i + j]
+                tn = grid[factor * i + j + 1]
+                z_ss = ddim_step(z_ss, eps_of(teacher_params, z_ss, tj),
+                                 ab(tj, nd), ab(tn, nd))
             x0_target = solve_x0_target(z_t, z_ss, ab(t, nd), ab(s, nd))
 
             # Truncated-SNR weighting (Salimans-Ho eq. 9): at low noise the
@@ -235,15 +255,25 @@ class ProgressiveDistiller:
 
         variables: full-LDM {"params", "batch_stats"} (the converged
         teacher).  stages: teacher step counts; stage k distills a student
-        with stages[k]//2 steps which becomes stage k+1's teacher, so
-        consecutive entries must halve.  Returns (distilled_variables,
-        info); intermediate students are checkpointed per stage, so every
-        step count in the cascade stays usable.
+        with stages[k+1] steps (the next stage's teacher).  The LAST
+        stage's student halves an even count, or — when the final teacher
+        count is odd — collapses it to a ONE-step student (factor = the
+        whole count), e.g. stages=(48, 24, 12, 6, 3) ends at 1 denoiser
+        eval.  Each stage factor (teacher/student ratio) must be an
+        integer >= 2.  Returns (distilled_variables, info); intermediate
+        students are checkpointed per stage, so every step count in the
+        cascade stays usable.
         """
         stages = [int(n) for n in stages]
-        for a, b in zip(stages, stages[1:]):
-            if b != a // 2:
-                raise ValueError(f"stages must halve: {a} -> {b}")
+        students = []
+        for k, n in enumerate(stages):
+            s = (stages[k + 1] if k + 1 < len(stages)
+                 else (n // 2 if n % 2 == 0 else 1))
+            if s < 1 or n % s or n // s < 2:
+                raise ValueError(
+                    f"stage {k}: student steps {s} must divide teacher "
+                    f"steps {n} with an integer factor >= 2")
+            students.append(s)
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         logger = MetricLogger(out_dir / "distill_metrics.csv")
@@ -262,8 +292,11 @@ class ProgressiveDistiller:
         history = []
 
         for stage_idx, n_teacher in enumerate(stages):
-            teacher_grid, _ = distill_stage_grids(self.t_max, n_teacher)
-            step_fn, tx = self._stage_step_fn(teacher_grid, lr)
+            n_student = students[stage_idx]
+            factor = n_teacher // n_student
+            teacher_grid, _ = distill_stage_grids(self.t_max, n_teacher,
+                                                  factor)
+            step_fn, tx = self._stage_step_fn(teacher_grid, lr, factor)
             teacher_params = params
             state = TrainState(
                 params=jax.tree_util.tree_map(jnp.array, teacher_params),
@@ -294,7 +327,6 @@ class ProgressiveDistiller:
             # batch_stats are the ones threaded through the final state.
             batch_stats = state.batch_stats
             losses = [float(v) for v in jax.device_get(losses)]
-            n_student = n_teacher // 2
             head = float(np.mean(losses[:20]))
             tail = float(np.mean(losses[-20:]))
             logger.log(epoch=stage_idx, teacher_steps=n_teacher,
@@ -313,6 +345,6 @@ class ProgressiveDistiller:
                  "distill": {"steps": n_student, "t_max": self.t_max,
                              "stages": stages[:stage_idx + 1]}})
 
-        info = {"steps": stages[-1] // 2, "t_max": self.t_max,
+        info = {"steps": students[-1], "t_max": self.t_max,
                 "stages": stages, "history": history}
         return ({"params": params, "batch_stats": batch_stats}, info)

@@ -131,13 +131,13 @@ class LDMTrainer:
     # ---------------- jitted step -------------------------------------------
 
     def _losses(self, params, batch_stats, content, style, t, drng,
-                feature_params, weights=None):
+                feature_params, weights=None, style_drop_mask=None):
         content = as_unit_images(content)
         style = as_unit_images(style)
         out, updates = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             content, style, t, train=True, frozen_encoder=True,
-            sample_weights=weights,
+            sample_weights=weights, style_drop_mask=style_drop_mask,
             rngs={"diffusion": drng}, mutable=["batch_stats"])
 
         comp_params, style_params = feature_params
@@ -169,15 +169,21 @@ class LDMTrainer:
 
     def _step(self, state: TrainState, content, style, key, feature_params,
               weights=None):
-        tkey, dkey = jax.random.split(key)
+        tkey, dkey, skey = jax.random.split(key, 3)
         batch = content.shape[0]
         # t ~ Uniform{0..T-1} per element (ref: train.py:172).
         t = jax.random.randint(tkey, (batch,), 0,
                                self.config.diffusion.num_timesteps)
+        # Classifier-free-guidance dropout: zero the style pyramid for a
+        # random subset so the UNet also learns the unconditional branch.
+        p_drop = float(getattr(self.config.train, "style_dropout", 0.0))
+        drop = (jax.random.bernoulli(skey, p_drop, (batch,))
+                .astype(jnp.float32) if p_drop > 0.0 else None)
 
         def loss_fn(params):
             return self._losses(params, state.batch_stats, content, style, t,
-                                dkey, feature_params, weights)
+                                dkey, feature_params, weights,
+                                style_drop_mask=drop)
 
         (_, (metrics, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

@@ -74,8 +74,21 @@ def test_distill_stage_grids_align():
     # The student grid IS the sampler's grid at steps = n//2 + 1, so a
     # distilled student runs through the stock transfer path.
     np.testing.assert_array_equal(student, transfer_time_grid(100, 49))
-    with pytest.raises(ValueError, match="even"):
+    with pytest.raises(ValueError, match="divisible"):
         distill_stage_grids(100, 7)
+
+
+def test_distill_stage_grids_factor_k():
+    """A factor-k stage (the final 3 -> 1 collapse) still aligns with the
+    stock sampler grid: the student grid is exactly the endpoints."""
+    teacher, student = distill_stage_grids(50, 3, factor=3)
+    assert len(teacher) == 4 and len(student) == 2
+    np.testing.assert_array_equal(student, teacher[::3])
+    np.testing.assert_array_equal(student, transfer_time_grid(50, 2))
+    with pytest.raises(ValueError, match="divisible"):
+        distill_stage_grids(50, 4, factor=3)
+    with pytest.raises(ValueError, match="factor"):
+        distill_stage_grids(50, 4, factor=1)
 
 
 def test_progressive_distill_cascade(tmp_path, rng):
@@ -140,3 +153,47 @@ def test_progressive_distill_cascade(tmp_path, rng):
         num_timesteps=100, steps=info["steps"] + 1)
     assert decoded.shape == (2, S, S, 1)
     assert np.all(np.isfinite(np.asarray(decoded)))
+
+
+def test_distill_final_factor_stage_to_one_step(tmp_path, rng):
+    """An odd final stage collapses to a ONE-step student (factor = the
+    whole teacher count): 3 -> 1, where halving cannot go.  The stage
+    trains, checkpoints with the right metadata, and the 1-step student
+    runs through the stock transfer path at steps=2."""
+    cfg = tiny_config()
+    mesh = make_mesh((-1, 1))
+    dist = ProgressiveDistiller(cfg, mesh=mesh, t_max=100)
+
+    S = cfg.model.image_size
+    x = jnp.zeros((1, S, S, 1))
+    variables = dist.model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        x, x, jnp.zeros((1,), jnp.int32))
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+
+    def batch():
+        c = rng.rand(8, S, S, 1).astype(np.float32)
+        s = rng.rand(8, S, S, 1).astype(np.float32)
+        return ((c, [0] * 8), (s, [0] * 8))
+
+    loader = [batch() for _ in range(2)]
+    out, info = dist.distill(variables, loader, stages=(3,),
+                             steps_per_stage=8, lr=1e-3,
+                             out_dir=tmp_path, seed=0)
+    assert info["steps"] == 1 and info["stages"] == [3]
+    payload = ckpt_lib.restore_pytree(tmp_path / "distilled_1")
+    assert payload["distill"]["steps"] == 1
+
+    content = jnp.asarray(rng.rand(2, S, S, 1).astype(np.float32))
+    style = jnp.asarray(rng.rand(2, S, S, 1).astype(np.float32))
+    decoded, _, _ = content_style_transfer(
+        dist.model, out, jax.random.PRNGKey(3), content, style,
+        num_timesteps=100, steps=2)
+    assert decoded.shape == (2, S, S, 1)
+    assert np.all(np.isfinite(np.asarray(decoded)))
+
+    # Invalid cascades are rejected: non-integer factor.
+    with pytest.raises(ValueError, match="factor"):
+        dist.distill(variables, loader, stages=(4, 3), steps_per_stage=1,
+                     out_dir=tmp_path / "bad")
