@@ -561,6 +561,36 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         log(f"batch-64 distilled section failed: {e!r}")
 
+    # ---- batch-64 throughput on the 1-step distilled grid -----------------
+    # The factor-3 final distillation stage (training/distill.py,
+    # stages 48->24->12->6->3 -> ONE step) collapses a transfer to a single
+    # denoiser eval: encode + 1 UNet call + decode per clip.  Quality:
+    # docs/results/distill/ (transfer_eval_distill1 / distill_fidelity_1).
+    try:
+        if over_budget("batch-64 distill-1 section"):
+            raise TimeoutError("budget")
+
+        def transfer_d1(c, s):
+            decoded, _, _ = content_style_transfer(
+                model, variables, jax.random.PRNGKey(2), c, s,
+                num_timesteps=steps, eta=0.0, sampler="ddim", steps=2)
+            return decoded
+
+        @jax.jit
+        def chain_b64_d1(c):
+            def body(i, c):
+                return transfer_d1(c, jnp.roll(style64, i, axis=0))
+            return jax.lax.fori_loop(0, n_b64, body, c)
+
+        d1_s, _ = timed(chain_b64_d1, content64, repeats=3, warmup=25)
+        thr_d1 = max(d1_s - floor_s, 1e-9) / n_b64
+        log(f"batch-64 distilled-grid 1-step transfer: {64 / thr_d1:.0f} "
+            f"clips/s ({thr_d1 * 1000:.2f} ms/batch)")
+        emitter.set(transfer_b64_distill1_clips_per_s=round(64 / thr_d1))
+        emitter.emit()
+    except Exception as e:  # noqa: BLE001
+        log(f"batch-64 distill-1 section failed: {e!r}")
+
     # ---- batch-128 LDM train step (reference recipe) + MFU ---------------
     try:
         if over_budget("train-step section"):

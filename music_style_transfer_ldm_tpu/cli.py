@@ -151,7 +151,7 @@ def cmd_distill(args) -> int:
     _, info = dist.distill(variables, loader, stages=stages,
                            steps_per_stage=args.steps_per_stage,
                            lr=args.lr, out_dir=args.out_dir,
-                           seed=cfg.train.seed)
+                           seed=cfg.train.seed, guidance=args.guidance)
     final = info["steps"]
     print(f"distilled to {final} steps; transfer with "
           f"--sample-steps {final + 1} (grids: {info['stages']} -> {final})"
@@ -514,6 +514,11 @@ def build_parser() -> argparse.ArgumentParser:
     dl.add_argument("--t-max", type=int, default=100,
                     help="transfer noise level the grids cover (matches "
                          "`transfer --steps`)")
+    dl.add_argument("--guidance", type=float, default=1.0,
+                    help="distill a classifier-free-GUIDED teacher at this "
+                         "fixed scale (first stage only; needs a "
+                         "style_dropout-trained checkpoint) — the students "
+                         "bake the amplified style in and sample unguided")
     dl.set_defaults(fn=cmd_distill)
 
     dg = sub.add_parser("diagnose", help="parameter table + dead-style-"

@@ -157,16 +157,27 @@ class ProgressiveDistiller:
     # ---------------- jitted stage step ------------------------------------
 
     def _stage_step_fn(self, teacher_grid: np.ndarray, lr: float,
-                       factor: int = 2):
+                       factor: int = 2, guidance: float = 1.0):
         """Build (step_fn, tx) for one stage; teacher_grid is static.
 
         One student step t -> s spans ``factor`` consecutive teacher DDIM
         steps (factor=2 is classic halving).  The x0-target solve only
         involves the segment ENDPOINTS, so the same closed form covers any
         factor; the teacher walk is unrolled (factor is small and static).
+
+        guidance != 1 distills a GUIDED teacher (Meng et al. 2023, "On
+        Distillation of Guided Diffusion Models", fixed scale variant):
+        each teacher eps is the classifier-free combination
+        eps_u + g*(eps_c - eps_u) — both branches in one doubled-batch
+        UNet call, same layout as models/ldm.py:_denoise_fn — while the
+        student stays a plain conditional predictor.  The student thus
+        bakes the amplified style into its single branch: sampling it
+        needs NO guidance (and no 2x batch) at inference.  Requires a
+        style_dropout-trained teacher so its unconditional branch is real.
         """
         grid = jnp.asarray(teacher_grid, jnp.int32)
         factor = int(factor)
+        guidance = float(guidance)
         n_student = (len(teacher_grid) - 1) // factor
         sched = self.model.schedule
         model = self.model
@@ -203,13 +214,37 @@ class ProgressiveDistiller:
                 return model.apply(var, z, tv, emb,
                                    method=LDM.denoise).astype(jnp.float32)
 
+            if guidance == 1.0:
+                def teacher_eps(z, tv):
+                    return eps_of(teacher_params, z, tv)
+            else:
+                # Guided teacher: classifier-free combination, both
+                # branches in one doubled-batch UNet call (same 2B layout
+                # as models/ldm.py:_denoise_fn so the compiled conv shapes
+                # match the sampler's guided path).
+                null_emb = jax.tree_util.tree_map(jnp.zeros_like, emb)
+                emb2 = jax.tree_util.tree_map(
+                    lambda c, u: jnp.concatenate([c, u], axis=0),
+                    emb, null_emb)
+                var2 = {"params": teacher_params,
+                        "batch_stats": state.batch_stats}
+
+                def teacher_eps(z, tv):
+                    z2 = jnp.concatenate([z, z], axis=0)
+                    t2 = jnp.concatenate([tv, tv], axis=0)
+                    eps2 = model.apply(var2, z2, t2, emb2,
+                                       method=LDM.denoise).astype(
+                                           jnp.float32)
+                    eps_c, eps_u = jnp.split(eps2, 2, axis=0)
+                    return eps_u + guidance * (eps_c - eps_u)
+
             # Teacher: `factor` DDIM steps on its grid (no gradient flows —
             # the teacher params are not the differentiated argument).
             z_ss = z_t
             for j in range(factor):
                 tj = grid[factor * i + j]
                 tn = grid[factor * i + j + 1]
-                z_ss = ddim_step(z_ss, eps_of(teacher_params, z_ss, tj),
+                z_ss = ddim_step(z_ss, teacher_eps(z_ss, tj),
                                  ab(tj, nd), ab(tn, nd))
             x0_target = solve_x0_target(z_t, z_ss, ab(t, nd), ab(s, nd))
 
@@ -250,7 +285,7 @@ class ProgressiveDistiller:
                 stages: Sequence[int] = (96, 48, 24, 12, 6),
                 steps_per_stage: int = 400, lr: float = 1e-4,
                 out_dir: str | Path = "runs/distill",
-                seed: int = 0) -> tuple[dict, dict]:
+                seed: int = 0, guidance: float = 1.0) -> tuple[dict, dict]:
         """Run the full halving schedule.
 
         variables: full-LDM {"params", "batch_stats"} (the converged
@@ -260,9 +295,20 @@ class ProgressiveDistiller:
         count is odd — collapses it to a ONE-step student (factor = the
         whole count), e.g. stages=(48, 24, 12, 6, 3) ends at 1 denoiser
         eval.  Each stage factor (teacher/student ratio) must be an
-        integer >= 2.  Returns (distilled_variables, info); intermediate
-        students are checkpointed per stage, so every step count in the
-        cascade stays usable.
+        integer >= 2.
+
+        guidance != 1 distills a classifier-free-GUIDED teacher (Meng et
+        al. 2023, fixed-scale variant): the FIRST stage's teacher eps is
+        the CFG combination at this scale, so the stage-1 student bakes
+        the amplified style into its plain conditional branch; every later
+        stage's teacher is that already-guidance-baked student and runs
+        unguided.  Sampling any distilled student then needs neither
+        ``guidance=`` nor the 2x batch.  Requires a style_dropout-trained
+        teacher checkpoint (models/ldm.py:style_drop_mask).
+
+        Returns (distilled_variables, info); intermediate students are
+        checkpointed per stage, so every step count in the cascade stays
+        usable.
         """
         stages = [int(n) for n in stages]
         students = []
@@ -296,7 +342,9 @@ class ProgressiveDistiller:
             factor = n_teacher // n_student
             teacher_grid, _ = distill_stage_grids(self.t_max, n_teacher,
                                                   factor)
-            step_fn, tx = self._stage_step_fn(teacher_grid, lr, factor)
+            step_fn, tx = self._stage_step_fn(
+                teacher_grid, lr, factor,
+                guidance=guidance if stage_idx == 0 else 1.0)
             teacher_params = params
             state = TrainState(
                 params=jax.tree_util.tree_map(jnp.array, teacher_params),
@@ -343,8 +391,10 @@ class ProgressiveDistiller:
                  "batch_stats": jax.device_get(batch_stats),
                  "format_version": np.asarray(ckpt_lib.FORMAT_VERSION),
                  "distill": {"steps": n_student, "t_max": self.t_max,
-                             "stages": stages[:stage_idx + 1]}})
+                             "stages": stages[:stage_idx + 1],
+                             "guidance": guidance}})
 
         info = {"steps": students[-1], "t_max": self.t_max,
-                "stages": stages, "history": history}
+                "stages": stages, "guidance": guidance,
+                "history": history}
         return ({"params": params, "batch_stats": batch_stats}, info)

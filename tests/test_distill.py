@@ -197,3 +197,53 @@ def test_distill_final_factor_stage_to_one_step(tmp_path, rng):
     with pytest.raises(ValueError, match="factor"):
         dist.distill(variables, loader, stages=(4, 3), steps_per_stage=1,
                      out_dir=tmp_path / "bad")
+
+
+def test_distill_guided_teacher(tmp_path, rng):
+    """guidance != 1 distills the CFG-combined teacher: the stage trains
+    to finite losses, guidance is recorded in the checkpoint metadata, and
+    the guided student genuinely differs from the unguided one distilled
+    from the same seed (the teacher targets differ)."""
+    cfg = tiny_config()
+    mesh = make_mesh((-1, 1))
+    dist = ProgressiveDistiller(cfg, mesh=mesh, t_max=100)
+
+    S = cfg.model.image_size
+    x = jnp.zeros((1, S, S, 1))
+    variables = dist.model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        x, x, jnp.zeros((1,), jnp.int32))
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+
+    def batch():
+        c = rng.rand(8, S, S, 1).astype(np.float32)
+        s = rng.rand(8, S, S, 1).astype(np.float32)
+        return ((c, [0] * 8), (s, [0] * 8))
+
+    loader = [batch()]
+    out_g, info_g = dist.distill(variables, loader, stages=(2,),
+                                 steps_per_stage=4, lr=1e-3,
+                                 out_dir=tmp_path / "g", seed=0,
+                                 guidance=2.5)
+    out_p, _ = dist.distill(variables, loader, stages=(2,),
+                            steps_per_stage=4, lr=1e-3,
+                            out_dir=tmp_path / "p", seed=0, guidance=1.0)
+
+    assert info_g["guidance"] == 2.5
+    assert np.isfinite(info_g["history"][0]["loss_tail"])
+    payload = ckpt_lib.restore_pytree(tmp_path / "g" / "distilled_1")
+    assert payload["distill"]["guidance"] == 2.5
+
+    g_leaves = jax.tree_util.tree_leaves(out_g["params"]["unet"])
+    p_leaves = jax.tree_util.tree_leaves(out_p["params"]["unet"])
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(g_leaves, p_leaves))
+
+    # The guided student samples UNGUIDED through the stock path.
+    content = jnp.asarray(rng.rand(2, S, S, 1).astype(np.float32))
+    style = jnp.asarray(rng.rand(2, S, S, 1).astype(np.float32))
+    decoded, _, _ = content_style_transfer(
+        dist.model, out_g, jax.random.PRNGKey(3), content, style,
+        num_timesteps=100, steps=2)
+    assert np.all(np.isfinite(np.asarray(decoded)))

@@ -37,6 +37,9 @@ def main() -> int:
     p.add_argument("--sampler", choices=["ddim", "dpm++"], default="ddim")
     p.add_argument("--sample-steps", type=int, default=None,
                    help="coarse sampler grid (pairs with --sampler dpm++)")
+    p.add_argument("--guidance", type=float, default=1.0,
+                   help="classifier-free style-guidance scale (needs a "
+                        "style_dropout-trained checkpoint)")
     p.add_argument("--out-dir", default="docs/results/fullscale")
     p.add_argument("--json-name", default="transfer_eval.json")
     args = p.parse_args()
@@ -74,7 +77,7 @@ def main() -> int:
     decoded, _, _ = content_style_transfer(
         model, variables, jax.random.PRNGKey(0), content, style,
         num_timesteps=args.steps, sampler=args.sampler,
-        steps=args.sample_steps)
+        steps=args.sample_steps, guidance=args.guidance)
     decoded = np.asarray(decoded)
     content_np, style_np = np.asarray(content), np.asarray(style)
 
@@ -124,6 +127,7 @@ def main() -> int:
         "level_matched": indep_matched,
         "sampler": args.sampler,
         "sample_steps": args.sample_steps,
+        "guidance": args.guidance,
         "checkpoint": str(args.checkpoint),
     }
     print(json.dumps(results, indent=2), flush=True)
