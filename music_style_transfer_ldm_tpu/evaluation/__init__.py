@@ -7,6 +7,7 @@ from music_style_transfer_ldm_tpu.evaluation.diagnostics import (  # noqa: F401
     spectral_convergence, mel_db_distance,
 )
 from music_style_transfer_ldm_tpu.evaluation.metrics import (  # noqa: F401
-    band_statistics, batch_spectral_convergence, independent_transfer_metrics,
-    log_mel_stats_distance, style_distance_reductions_multiseed,
+    band_statistics, batch_spectral_convergence, fad_metrics,
+    frechet_distance, independent_transfer_metrics, log_mel_stats_distance,
+    style_distance_reductions_multiseed, trunk_embeddings,
 )

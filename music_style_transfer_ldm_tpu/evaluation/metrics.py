@@ -107,6 +107,73 @@ def style_distance_reductions_multiseed(
     return out
 
 
+def trunk_embeddings(imgs: np.ndarray, seed: int = 11,
+                     dtype=None) -> np.ndarray:
+    """One embedding per image: the spatially pooled FINAL feature map of
+    an independently seeded VGGish trunk ([N, C], C = 512).
+
+    This is the embedding a Frechet Audio Distance uses (Kilgour et al.
+    2019), with the pretrained trunk replaced by a fixed random one (the
+    environment blocks pretrained weights; random projections preserve
+    distances, and the seed is independent of the training loss's)."""
+    import jax
+    import jax.numpy as jnp
+
+    from music_style_transfer_ldm_tpu.losses.vggish import VGGishFeatures
+
+    x = _squeeze(imgs).astype(np.float32)[..., None]
+    module = VGGishFeatures(dtype=dtype or jnp.float32)
+    params = module.init(jax.random.PRNGKey(seed),
+                         jnp.zeros((1,) + x.shape[1:], jnp.float32))
+    feats = jax.jit(module.apply)(params, jnp.asarray(x))
+    return np.asarray(feats[-1].mean(axis=(1, 2)), np.float64)
+
+
+def frechet_distance(a_emb: np.ndarray, b_emb: np.ndarray,
+                     eps: float = 1e-6) -> float:
+    """Frechet distance between Gaussians fit to two embedding sets:
+    ||mu_a - mu_b||^2 + tr(Ca + Cb - 2 (Ca Cb)^1/2).
+
+    Full-covariance (unlike log_mel_stats_distance's diagonal 2-moment
+    form).  tr((Ca Cb)^1/2) is computed as sum(sqrt(eig(S Cb S))) with
+    S = Ca^1/2 — symmetric PSD, so the eigenvalues are real and the
+    clipping only removes numerical negatives.  With N < C samples the
+    covariances are rank-deficient; the distance stays well-defined, but
+    treat small-N values as comparative (same N both sides), not
+    absolute."""
+    a = np.asarray(a_emb, np.float64)
+    b = np.asarray(b_emb, np.float64)
+    mu_a, mu_b = a.mean(0), b.mean(0)
+    ca = np.cov(a, rowvar=False) + eps * np.eye(a.shape[1])
+    cb = np.cov(b, rowvar=False) + eps * np.eye(b.shape[1])
+    wa, va = np.linalg.eigh(ca)
+    s = (va * np.sqrt(np.clip(wa, 0.0, None))) @ va.T
+    wm = np.linalg.eigvalsh(s @ cb @ s)
+    tr_sqrt = np.sum(np.sqrt(np.clip(wm, 0.0, None)))
+    d2 = (np.sum((mu_a - mu_b) ** 2) + np.trace(ca) + np.trace(cb)
+          - 2.0 * tr_sqrt)
+    return float(max(d2, 0.0))
+
+
+def fad_metrics(content: np.ndarray, transfer: np.ndarray,
+                style_corpus: np.ndarray, seed: int = 11
+                ) -> Dict[str, float]:
+    """FAD(transfer, style corpus) before/after: how much the output
+    distribution moved toward the style class, under an embedding family
+    independent of the training objective."""
+    e_c = trunk_embeddings(content, seed=seed)
+    e_t = trunk_embeddings(transfer, seed=seed)
+    e_s = trunk_embeddings(style_corpus, seed=seed)
+    base = frechet_distance(e_c, e_s)
+    got = frechet_distance(e_t, e_s)
+    return {
+        "fad_transfer_vs_style_corpus": round(got, 4),
+        "fad_content_vs_style_corpus": round(base, 4),
+        "fad_reduction_pct": round(100.0 * (1.0 - got / max(base, 1e-12)),
+                                   1),
+    }
+
+
 def _zscore_set(x: np.ndarray) -> np.ndarray:
     """Remove a set's GLOBAL level and contrast (one affine per set, not
     per image): isolates envelope SHAPE from overall brightness."""
@@ -165,4 +232,5 @@ def independent_transfer_metrics(content: np.ndarray, style: np.ndarray,
         "vggish_multiseed_style_reduction_pct":
             style_distance_reductions_multiseed(content, style, transfer,
                                                 seeds=seeds),
+        **fad_metrics(content, transfer, corpus, seed=seeds[0]),
     }

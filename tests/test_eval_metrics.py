@@ -101,3 +101,36 @@ def test_match_moments(sets):
     v2 = (out[0] - out[0].mean()).ravel()
     corr = float(v1 @ v2 / (np.linalg.norm(v1) * np.linalg.norm(v2)))
     assert corr > 0.999
+
+
+def test_frechet_distance_closed_form(rng):
+    """For Gaussian samples, the estimate approaches the analytic
+    Frechet distance; axioms: 0 on identical sets, > 0 on shifted."""
+    from music_style_transfer_ldm_tpu.evaluation import frechet_distance
+    a = rng.randn(4000, 3)
+    assert frechet_distance(a, a) < 1e-9
+    shift = np.array([2.0, 0.0, 0.0])
+    b = rng.randn(4000, 3) * 2.0 + shift
+    # analytic: ||mu||^2 + tr(I + 4I - 2*sqrt(4I)* ... ) with Ca=I, Cb=4I:
+    # tr(Ca+Cb-2(CaCb)^1/2) = 3*(1+4-2*2) = 3
+    d = frechet_distance(a, b)
+    assert abs(d - (4.0 + 3.0)) < 0.5
+    # symmetric
+    assert abs(d - frechet_distance(b, a)) < 1e-6
+
+
+def test_fad_metrics_move_toward_style(sets):
+    """FAD over trunk embeddings: interpolating toward the style corpus
+    must reduce the Frechet distance to it."""
+    from music_style_transfer_ldm_tpu.evaluation import (
+        fad_metrics, trunk_embeddings,
+    )
+    content, style = sets
+    emb = trunk_embeddings(content, seed=11)
+    assert emb.shape == (4, 512) and np.all(np.isfinite(emb))
+    transfer = 0.25 * content + 0.75 * style
+    m = fad_metrics(content, transfer, style, seed=11)
+    assert m["fad_transfer_vs_style_corpus"] < m["fad_content_vs_style_corpus"]
+    assert m["fad_reduction_pct"] > 30
+    same = fad_metrics(content, content, style, seed=11)
+    assert same["fad_reduction_pct"] == 0.0
