@@ -83,3 +83,51 @@ def test_ldm_forward_panel(tmp_path, rng):
     from PIL import Image
     img = Image.open(out)
     assert img.size == (4 * 128, 128)
+
+
+def test_eval_generate_tool(tmp_path, rng):
+    """tools/eval_generate.py end-to-end on a tiny pack + fresh
+    checkpoint: JSON written with FAD + floors/ceiling + spread keys."""
+    import json
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    import tools.eval_generate as eg
+    from music_style_transfer_ldm_tpu.config import default_config
+    from music_style_transfer_ldm_tpu.datasets.packed import write_pack
+    from music_style_transfer_ldm_tpu.models.ldm import LDM
+    from music_style_transfer_ldm_tpu.training import checkpoint as ckpt_lib
+
+    images = rng.randint(0, 256, (16, 128, 130), np.uint8)
+    labels = (np.arange(16, dtype=np.uint16) % 2)
+    write_pack(tmp_path / "d.spk", images, labels, ["a", "b"])
+
+    cfg = default_config()
+    model = LDM(latent_dim=cfg.model.latent_dim,
+                num_timesteps=cfg.diffusion.num_timesteps,
+                dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 128, 128, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        x, x, jnp.zeros((1,), jnp.int32))
+    ckpt_lib.save_pytree(tmp_path / "ckpt",
+                         {"params": variables["params"],
+                          "batch_stats": variables.get("batch_stats", {})})
+
+    old = sys.argv
+    sys.argv = ["eval_generate", "--checkpoint", str(tmp_path / "ckpt"),
+                "--pack", str(tmp_path / "d.spk"), "--style-class", "0",
+                "--n", "2", "--steps", "2",
+                "--out", str(tmp_path / "gen.json")]
+    try:
+        assert eg.main() == 0
+    finally:
+        sys.argv = old
+    r = json.loads((tmp_path / "gen.json").read_text())
+    for k in ("fad_generated_vs_style_corpus", "fad_real_vs_real_floor",
+              "fad_other_class_ceiling", "pairwise_spread_generated",
+              "pairwise_spread_real"):
+        assert np.isfinite(r[k]), k
+    assert r["class_name"] == "a" and r["n"] == 2
