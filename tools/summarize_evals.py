@@ -1,0 +1,61 @@
+"""Aggregate transfer-eval JSONs into one markdown table.
+
+Reads every ``transfer_eval*.json`` under the given directories (the
+artifacts `tools/eval_transfer.py` writes) and prints a compact markdown
+table of the headline metrics so result READMEs (docs/results/*/README.md)
+can be assembled without hand-copying numbers:
+
+    python tools/summarize_evals.py docs/results/distill docs/results/guidance
+
+Columns: style-distance reduction (training-trunk seed-3 + the two
+independent seeds), level-matched log-mel shape reduction, spectral
+convergence vs style, and pixel MSE vs content (content preservation).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+
+def row(path: Path) -> dict:
+    d = json.loads(path.read_text())
+    multi = d.get("vggish_multiseed_style_reduction_pct", {})
+    lm = d.get("level_matched", {})
+    return {
+        "name": path.stem.replace("transfer_eval_", ""),
+        "steps": d.get("sample_steps") or d.get("steps"),
+        "guidance": d.get("guidance", 1.0),
+        "style_red": d.get("style_distance_reduction_pct"),
+        "multiseed": "/".join(f"{v:g}" for v in multi.values()) or "-",
+        "shape_red_lm": lm.get("logmel_shape_reduction_pct"),
+        "spec_conv_style": d.get("spectral_convergence_transfer_vs_style"),
+        "mse_content": d.get("pixel_mse_transfer_vs_content"),
+    }
+
+
+def main() -> int:
+    dirs = [Path(a) for a in sys.argv[1:]] or [Path("docs/results")]
+    files = sorted({p for d in dirs for p in d.rglob("transfer_eval*.json")})
+    if not files:
+        print("no transfer_eval*.json found", file=sys.stderr)
+        return 1
+    rows = [row(p) for p in files]
+    hdr = ("| run | steps | guidance | style red % (seed3) | "
+           "multiseed % | shape red % (lvl-matched) | spec-conv vs style | "
+           "pixel MSE vs content |")
+    print(hdr)
+    print("|" + "---|" * 8)
+    for r in rows:
+        print(f"| {r['name']} | {r['steps']} | {r['guidance']:g} "
+              f"| {r['style_red']} | {r['multiseed']} | {r['shape_red_lm']} "
+              f"| {r['spec_conv_style']} | {r['mse_content']} |")
+    return 0
+
+
+if __name__ == "__main__":
+    try:
+        raise SystemExit(main())
+    except BrokenPipeError:  # e.g. `... | head`
+        raise SystemExit(0)
