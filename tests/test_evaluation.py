@@ -131,3 +131,35 @@ def test_eval_generate_tool(tmp_path, rng):
               "pairwise_spread_real"):
         assert np.isfinite(r[k]), k
     assert r["class_name"] == "a" and r["n"] == 2
+
+
+def test_summarize_evals_tool(tmp_path, capsys):
+    """tools/summarize_evals.py renders one markdown row per eval JSON,
+    tolerating both plain and distilled (sample_steps) artifacts."""
+    import json as _json
+    import sys
+
+    import tools.summarize_evals as se
+
+    (tmp_path / "transfer_eval_a.json").write_text(_json.dumps({
+        "steps": 50, "guidance": 1.5,
+        "style_distance_reduction_pct": 91.0,
+        "vggish_multiseed_style_reduction_pct": {"11": 92.7, "29": 91.5},
+        "level_matched": {"logmel_shape_reduction_pct": 78.7},
+        "spectral_convergence_transfer_vs_style": 0.75,
+        "pixel_mse_transfer_vs_content": 0.064}))
+    (tmp_path / "transfer_eval_b.json").write_text(_json.dumps({
+        "steps": 50, "sample_steps": 7,
+        "style_distance_reduction_pct": 90.7}))
+
+    old = sys.argv
+    sys.argv = ["summarize_evals", str(tmp_path)]
+    try:
+        assert se.main() == 0
+    finally:
+        sys.argv = old
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].startswith("| run |") and len(out) == 4
+    assert "| a | 50 | 1.5 | 91.0 | 92.7/91.5 | 78.7 | 0.75 | 0.064 |" in out
+    # sample_steps wins over steps; missing metrics render as None/-
+    assert "| b | 7 | 1 | 90.7 | - | None | None | None |" in out
