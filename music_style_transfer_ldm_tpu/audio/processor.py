@@ -264,6 +264,14 @@ def crossfade_stitch(chunks: np.ndarray, hop_samples: int) -> np.ndarray:
     chunks = np.asarray(chunks, np.float32)
     n, length = chunks.shape
     hop = int(hop_samples)
+    if hop > length and n > 1:
+        # Gapped windows (hop > chunk length) can't be stitched: plain
+        # concatenation would silently time-misalign everything after the
+        # first gap.  Unreachable from the CLI (overlap is clamped to
+        # [0, 1)) but the signature permits it (ADVICE r03).
+        raise ValueError(
+            f"hop_samples ({hop}) > chunk length ({length}): windows do "
+            f"not cover the signal, stitching would misalign time")
     if hop >= length or n == 1:
         return chunks.reshape(-1)[: (n - 1) * hop + length]
     total = (n - 1) * hop + length

@@ -153,8 +153,13 @@ def cmd_distill(args) -> int:
                            lr=args.lr, out_dir=args.out_dir,
                            seed=cfg.train.seed, guidance=args.guidance)
     final = info["steps"]
+    # --steps must match the distillation range: the student only ever saw
+    # the grid linspace(t_max-1, 0, N+1); sampling it with a different
+    # noising depth (e.g. the transfer default --steps 100 after
+    # --t-max 50) walks timesteps it was never trained on.
     print(f"distilled to {final} steps; transfer with "
-          f"--sample-steps {final + 1} (grids: {info['stages']} -> {final})"
+          f"--steps {info['t_max']} --sample-steps {final + 1} "
+          f"(grids: {info['stages']} -> {final})"
           f"; checkpoints under {args.out_dir}")
     return 0
 
@@ -162,6 +167,35 @@ def cmd_distill(args) -> int:
 def _restore_ldm(cfg, ckpt_path: str):
     from music_style_transfer_ldm_tpu.models.ldm import load_ldm
     return load_ldm(cfg, full_checkpoint=ckpt_path)
+
+
+def _warn_distill_mismatch(args) -> None:
+    """Warn when sampling a distilled student off its training grid.
+
+    A student distilled with `distill --t-max T` to N steps only ever saw
+    the grid linspace(T-1, 0, N+1); `transfer --steps != T` or
+    `--sample-steps != N+1` walks timesteps it was never trained on and
+    degrades silently (ADVICE r03).  Advisory only — intentional
+    off-grid sampling stays possible.
+    """
+    if not getattr(args, "checkpoint", None):
+        return
+    from music_style_transfer_ldm_tpu.models.ldm import (
+        checkpoint_distill_meta,
+    )
+    meta = checkpoint_distill_meta(args.checkpoint)
+    if not meta:
+        return
+    want_steps = int(meta.get("t_max", args.steps))
+    want_sample = int(meta.get("steps", 0)) + 1
+    got_sample = (args.sample_steps if args.sample_steps is not None
+                  else args.steps)
+    if int(args.steps) != want_steps or int(got_sample) != want_sample:
+        print(f"WARNING: checkpoint was distilled for --steps {want_steps} "
+              f"--sample-steps {want_sample}, but got --steps {args.steps} "
+              f"--sample-steps {got_sample}: the student never trained on "
+              f"this grid and output quality will degrade silently",
+              file=sys.stderr)
 
 
 def cmd_generate(args) -> int:
@@ -228,6 +262,7 @@ def cmd_transfer(args) -> int:
     cfg = default_config()
     ap = AudioProcessor()
     model, variables = _restore_ldm(cfg, args.checkpoint)
+    _warn_distill_mismatch(args)
     if not 0.0 <= args.overlap < 1.0:
         raise SystemExit(f"--overlap must be in [0, 1); got {args.overlap}")
     content_chunks = None
@@ -247,7 +282,8 @@ def cmd_transfer(args) -> int:
                              "(ddim/dpm++); the fused trajectory kernel "
                              "runs the single conditional branch only")
         # Multi-chunk clips run the BATCHED fused trajectory kernel in
-        # groups of FUSED_BUCKET_MAX (the measured win region; at most two
+        # groups of the per-chip fused bucket cap (the measured win
+        # region; at most two
         # compiles: one full group + one remainder group).  Per-chunk keys
         # derived by fold_in: no collision with another seed's stream
         # (seed+i would alias seed'=seed+1's chunk 0), and identical
@@ -259,17 +295,18 @@ def cmd_transfer(args) -> int:
         from music_style_transfer_ldm_tpu.ops.pallas.fused_sampler import (
             fused_content_style_transfer,
         )
-        from music_style_transfer_ldm_tpu.serving.engine import (
-            FUSED_BUCKET_MAX,
+        from music_style_transfer_ldm_tpu.utils.chips import (
+            fused_bucket_max,
         )
         import jax.numpy as jnp
+        bucket_cap = fused_bucket_max()
         root = jax.random.PRNGKey(args.seed)
         keys = jnp.stack([jax.random.fold_in(root, i)
                           for i in range(content.shape[0])])
         inner = "dpm++" if args.sampler == "fused-dpm++" else "ddim"
         parts = []
-        for lo in range(0, content.shape[0], FUSED_BUCKET_MAX):
-            hi = min(lo + FUSED_BUCKET_MAX, content.shape[0])
+        for lo in range(0, content.shape[0], bucket_cap):
+            hi = min(lo + bucket_cap, content.shape[0])
             parts.append(fused_content_style_transfer(
                 model, variables, keys[lo:hi], content[lo:hi],
                 style[lo:hi], num_timesteps=args.steps, eta=args.eta,

@@ -52,6 +52,11 @@ class DiffusionConfig:
     num_timesteps: int = 200          # ref: config.py:16
     beta_start: float = 1e-4          # ref: model.py:96
     beta_end: float = 0.02            # ref: model.py:97
+    # SDEdit transfer noising depth (ref: tests.py:1068 passes 100): the
+    # sampler walks the first `transfer_timesteps` of the schedule, and
+    # progressive distillation (training/distill.py) trains its students
+    # over this same range — keep them coupled through this one field.
+    transfer_timesteps: int = 100
 
 
 @dataclasses.dataclass

@@ -339,6 +339,26 @@ def match_moments(imgs: jax.Array, reference: jax.Array,
     return jnp.clip(out, clip[0], clip[1])
 
 
+def checkpoint_distill_meta(full_checkpoint) -> Optional[dict]:
+    """The ``distill`` metadata dict a progressively distilled checkpoint
+    carries (training/distill.py saves {"steps", "t_max", "stages",
+    "guidance"}), or None for a stock checkpoint or unreadable path.
+
+    Lets callers (cli transfer/serve) validate that the requested
+    --steps/--sample-steps match the grid the student was trained on:
+    a student distilled over t_max=50 sampled with the default
+    --steps 100 silently walks noise levels it never saw.
+    """
+    from music_style_transfer_ldm_tpu.training import checkpoint as ckpt_lib
+
+    try:
+        payload = ckpt_lib.restore_pytree(full_checkpoint)
+    except Exception:  # noqa: BLE001 — advisory only; loading errors
+        return None    # surface through load_ldm's real restore
+    meta = payload.get("distill")
+    return dict(meta) if isinstance(meta, dict) else None
+
+
 def load_ldm(config, full_checkpoint: Optional[str] = None,
              autoencoder_checkpoint: Optional[str] = None,
              dtype=jnp.bfloat16):

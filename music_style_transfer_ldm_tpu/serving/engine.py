@@ -27,10 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Largest bucket routed to the fused trajectory kernel: the measured
-# crossover on the v5e (r03 sweep) — fused wins 2.3x at b=1, 2.3x at b=2,
-# 1.6x at b=4, and loses (0.94x) at b=8, where XLA's batched convs have
-# amortized their overhead.
+# Largest bucket routed to the fused trajectory kernel on the v5e (the
+# chip the r03 crossover sweep ran on — fused wins 2.3x at b=1..2, 1.6x
+# at b=4, loses 0.94x at b=8 where XLA's batched convs have amortized
+# their overhead). Kept for reference/back-compat; routing now derives
+# the per-chip value via utils.chips.fused_bucket_max() (config override:
+# EngineConfig.fused_bucket_max / MSTLDM_FUSED_BUCKET_MAX).
 FUSED_BUCKET_MAX = 4
 
 
@@ -52,6 +54,11 @@ class EngineConfig:
     # style_dropout > 0 and a scan sampler (the fused kernel runs the
     # conditional branch only — rejected at construction).
     guidance: float = 1.0
+    # Largest bucket routed to the fused trajectory kernel. None = derive
+    # from the running chip (utils.chips.fused_bucket_max: measured v5e
+    # crossover, peak-scaled heuristic elsewhere); set explicitly once a
+    # crossover sweep has run on the target chip.
+    fused_bucket_max: Optional[int] = None
     batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
     max_wait_ms: float = 5.0
     image_size: int = 128
@@ -107,6 +114,12 @@ class InferenceEngine:
                 batch_buckets=tuple(sorted({
                     -(-b // n_data) * n_data
                     for b in self.config.batch_buckets})))
+        from music_style_transfer_ldm_tpu.utils.chips import (
+            fused_bucket_max,
+        )
+        self.fused_bucket_max = (self.config.fused_bucket_max
+                                 if self.config.fused_bucket_max is not None
+                                 else fused_bucket_max())
         self.variables = variables
         self.ap = audio_processor or AudioProcessor()
         self._queue: queue.Queue = queue.Queue()
@@ -142,7 +155,7 @@ class InferenceEngine:
             # first-order DDIM on the coarse grid).
             inner = "dpm++" if cfg.sampler == "fused-dpm++" else (
                 "ddim" if fused else cfg.sampler)
-            if (fused and content.shape[0] <= FUSED_BUCKET_MAX
+            if (fused and content.shape[0] <= self.fused_bucket_max
                     and self.mesh is None):
                 # Batched fused Pallas trajectory kernel on the small
                 # buckets (2.3x device win at b=1, 1.6x at b=4; the scan

@@ -120,7 +120,13 @@ def distill_stage_grids(t_max: int, n_teacher_steps: int, factor: int = 2
     teacher = transfer_time_grid(t_max, n_teacher_steps + 1)
     student = teacher[::factor]
     expected = transfer_time_grid(t_max, n_teacher_steps // factor + 1)
-    assert np.array_equal(student, expected)
+    if not np.array_equal(student, expected):
+        # The whole "sample a distilled student with the STOCK sampler at
+        # --sample-steps N+1" contract rests on this grid identity; a bare
+        # assert would vanish under `python -O` (ADVICE r03).
+        raise ValueError(
+            f"student grid {student} != stock sampler grid {expected} for "
+            f"t_max={t_max}, teacher={n_teacher_steps}, factor={factor}")
     return teacher, student
 
 
@@ -152,7 +158,7 @@ class ProgressiveDistiller:
         # Transfer walks the first `transfer_timesteps` of the schedule
         # (SDEdit, ref: model.py:514); distill over that same range.
         self.t_max = int(t_max if t_max is not None
-                         else getattr(cd, "transfer_timesteps", 100))
+                         else cd.transfer_timesteps)
 
     # ---------------- jitted stage step ------------------------------------
 
@@ -360,8 +366,10 @@ class ProgressiveDistiller:
                     return (shard_batch(jnp.asarray(content), self.mesh),
                             shard_batch(jnp.asarray(style), self.mesh), w)
 
+                made_progress = False
                 for content, style, w in prefetch_to_device(train_loader,
                                                             place):
+                    made_progress = True
                     key = jax.random.fold_in(
                         base_key, stage_idx * 1_000_000 + done)
                     state, metrics = step_fn(state, teacher_params,
@@ -370,6 +378,17 @@ class ProgressiveDistiller:
                     done += 1
                     if done >= steps_per_stage:
                         break
+                if not made_progress:
+                    # A one-shot iterator that exhausted before
+                    # steps_per_stage would otherwise spin here forever:
+                    # every re-entry of prefetch_to_device yields nothing
+                    # and `done` never advances (ADVICE r03).
+                    raise RuntimeError(
+                        f"train_loader yielded no batches in a full pass "
+                        f"({done}/{steps_per_stage} steps into stage "
+                        f"{n_teacher}->{n_student}); distillation needs a "
+                        f"re-iterable loader (e.g. BatchLoader), not an "
+                        f"exhausted one-shot iterator")
 
             # The donated step consumed the stage-entry arrays; the live
             # batch_stats are the ones threaded through the final state.

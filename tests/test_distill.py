@@ -247,3 +247,35 @@ def test_distill_guided_teacher(tmp_path, rng):
         dist.model, out_g, jax.random.PRNGKey(3), content, style,
         num_timesteps=100, steps=2)
     assert np.all(np.isfinite(np.asarray(decoded)))
+
+
+def test_distill_t_max_defaults_to_config_transfer_timesteps():
+    """The documented coupling: with no explicit t_max the distiller
+    trains over DiffusionConfig.transfer_timesteps (the SDEdit transfer
+    range), so changing the transfer depth propagates (ADVICE r03 found
+    the old getattr fallback made this dead code)."""
+    cfg = tiny_config()
+    cfg.diffusion = dataclasses.replace(cfg.diffusion, transfer_timesteps=64)
+    dist = ProgressiveDistiller(cfg, mesh=make_mesh((-1, 1)))
+    assert dist.t_max == 64
+    assert ProgressiveDistiller(cfg, mesh=make_mesh((-1, 1)),
+                                t_max=32).t_max == 32
+
+
+def test_distill_exhausted_iterator_raises(tmp_path, rng):
+    """A one-shot iterator that runs dry before steps_per_stage must fail
+    loudly, not spin forever re-entering an empty loader (ADVICE r03)."""
+    cfg = tiny_config()
+    dist = ProgressiveDistiller(cfg, mesh=make_mesh((-1, 1)), t_max=100)
+    S = cfg.model.image_size
+    x = jnp.zeros((1, S, S, 1))
+    variables = dist.model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        x, x, jnp.zeros((1,), jnp.int32))
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    c = rng.rand(8, S, S, 1).astype(np.float32)
+    one_shot = iter([((c, [0] * 8), (c, [0] * 8))])
+    with pytest.raises(RuntimeError, match="re-iterable"):
+        dist.distill(variables, one_shot, stages=(2,), steps_per_stage=4,
+                     lr=1e-3, out_dir=tmp_path, seed=0)

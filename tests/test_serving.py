@@ -467,3 +467,61 @@ def test_engine_match_level(rng):
     for i in range(2):
         assert abs(out[i].mean() - style[i].mean()) < 0.03
         assert abs(out[i].std() - style[i].std()) < 0.03
+
+
+def test_fused_bucket_max_derivation(monkeypatch):
+    """Per-chip fused-kernel routing (utils/chips.py): the v5e keeps its
+    MEASURED crossover; other generations derive a peak-scaled default
+    (faster chip -> smaller win region); env + config override both work
+    (VERDICT r03 weak #5)."""
+    from music_style_transfer_ldm_tpu.utils import chips
+
+    monkeypatch.delenv("MSTLDM_FUSED_BUCKET_MAX", raising=False)
+    assert chips.fused_bucket_max("TPU v5 lite") == 4   # measured
+    assert chips.fused_bucket_max("TPU v5e") == 4
+    assert chips.fused_bucket_max("TPU v5p") == 2       # 459 TF/s: 4*197/459
+    assert chips.fused_bucket_max("TPU v6e") == 1       # 918 TF/s
+    assert chips.fused_bucket_max("TPU v3") == 8        # 123 TF/s (slower)
+    assert chips.fused_bucket_max("TPU v2") == 8        # clamped
+    assert chips.fused_bucket_max("weird-chip") == 4    # unknown: default
+    assert chips.fused_bucket_max(None) == 4            # cpu backend
+    monkeypatch.setenv("MSTLDM_FUSED_BUCKET_MAX", "16")
+    assert chips.fused_bucket_max("TPU v6e") == 16      # env wins
+
+    assert chips.peak_flops_per_sec("TPU v5p") == 459e12
+    assert chips.peak_flops_per_sec("cpu") is None
+    assert chips.bench_chain_len("TPU v5 lite") == 128
+    assert chips.bench_chain_len("TPU v6e") == 512      # clamp high
+    assert chips.bench_chain_len("TPU v2") == 64        # clamp low
+    assert chips.bench_chain_len("") == 128             # unknown: base
+
+
+def test_engine_fused_bucket_max_config_and_chip(rng):
+    """A non-v5e routing cap changes which batches hit the kernel: with
+    fused_bucket_max=1 (the derived v6e value) a batch-2 request rides
+    the scan path even though the v5e default would fuse it."""
+    model = LDM(latent_dim=32, num_timesteps=20)
+    x = jnp.zeros((1, 128, 128, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        x, x, jnp.zeros((1,), jnp.int32))
+    kw = dict(steps=6, batch_buckets=(1, 2), griffin_lim_iters=2,
+              nnls_iters=4, invert_audio=False)
+    # CPU backend resolves the measured v5e default.
+    default_eng = InferenceEngine(model, variables,
+                                  EngineConfig(sampler="fused", **kw))
+    assert default_eng.fused_bucket_max == 4
+    # Explicit config override (e.g. from a v6e sweep) takes precedence.
+    v6e_eng = InferenceEngine(
+        model, variables,
+        EngineConfig(sampler="fused", fused_bucket_max=1, **kw))
+    assert v6e_eng.fused_bucket_max == 1
+    content = rng.rand(2, 128, 128, 1).astype(np.float32)
+    style = rng.rand(2, 128, 128, 1).astype(np.float32)
+    # Batch-2 under cap=1 must take the scan fallback and match the plain
+    # ddim engine bit-for-bit (same seeds, same program).
+    ddim_eng = InferenceEngine(model, variables,
+                               EngineConfig(sampler="ddim", **kw))
+    out_v6e = v6e_eng.transfer_batch(content, style, seeds=[3, 4])
+    out_ddim = ddim_eng.transfer_batch(content, style, seeds=[3, 4])
+    np.testing.assert_array_equal(out_v6e["image"], out_ddim["image"])
