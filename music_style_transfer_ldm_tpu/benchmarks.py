@@ -234,6 +234,40 @@ class Emitter:
         except Exception as e:  # noqa: BLE001
             log(f"last-good save failed (non-fatal): {e!r}")
 
+    # Secondary metric fields a full run emits; the driver's record should
+    # never lose one of these to a budget-forced section skip.
+    _SECONDARY_KEYS = (
+        "scan_step_ms", "fused_dpm_halfgrid_transfer_ms",
+        "fused_b4_trajectory_ms", "client_latency_50step_ms",
+        "transfer_dpm_halfgrid_ms", "e2e_10s_clip_s", "transfer_b64_ms",
+        "transfer_b64_gflop", "mfu_transfer_b64",
+        "transfer_b64_dpm25_clips_per_s", "transfer_b64_distill6_clips_per_s",
+        "transfer_b64_distill1_clips_per_s", "train_b128_step_ms",
+        "train_b128_gflop", "mfu_train_b128")
+
+    def carry_forward_missing(self) -> None:
+        """Fill secondary fields a budget-skipped run didn't measure from
+        the last-good record, EXPLICITLY marked in ``fields_from_last_good``
+        (VERDICT r03 #7: captured fields must never regress round-over-
+        round just because the wall budget skipped late sections).  Only
+        meaningful when a real headline exists and the fallback is a
+        same-chip record; never silently mixes stale numbers in."""
+        if not self.ready() or not self._measured_any or not self.fallback:
+            return
+        if self.fallback.get("chip") != self.fields.get("chip"):
+            return
+        carried = [k for k in self._SECONDARY_KEYS
+                   if k not in self.fields and k in self.fallback]
+        if not carried:
+            return
+        for k in carried:
+            self.fields[k] = self.fallback[k]
+        self.fields["fields_from_last_good"] = carried
+        self.fields["last_good_measured_at"] = self.fallback.get(
+            "measured_at")
+        log(f"carried forward {len(carried)} unmeasured secondary fields "
+            f"from the last-good record: {carried}")
+
     def install_kill_handler(self) -> None:
         def handler(signum, frame):  # noqa: ARG001
             log(f"signal {signum}: flushing best-so-far JSON and exiting")
@@ -811,6 +845,7 @@ def main() -> None:
                 "single-call client latency / steps (relay-bound)")
         except Exception as e:  # noqa: BLE001
             log(f"last-resort measurement failed: {e!r}")
+    emitter.carry_forward_missing()
     emitter.emit()
     log(f"bench done in {time.time() - t_bench_start:.0f}s")
 

@@ -148,3 +148,44 @@ def test_main_emits_stale_line_when_backend_unavailable(last_good, tmp_path):
     d = json.loads(lines[-1])
     assert d["stale"] is True and d["value"] == 0.0096
     assert "init failed" in d["stale_reason"]
+
+
+def test_carry_forward_missing_secondary_fields(tmp_path, monkeypatch,
+                                                capsys):
+    """A budget-skipped run keeps the driver record complete: secondary
+    fields missing from the fresh line are filled from the last-good
+    record with explicit provenance marking; a different chip or a run
+    with no real measurement carries nothing (VERDICT r03 #7)."""
+    p = tmp_path / "last_good.json"
+    p.write_text(json.dumps({
+        "metric": "ddim_step_ms", "value": 0.0096, "unit": "ms",
+        "vs_baseline": 5208.33, "chip": "TPU v5 lite",
+        "mfu_train_b128": 0.4161, "scan_step_ms": 0.0213,
+        "measured_at": "2026-08-17T18:58:00Z"}))
+    monkeypatch.setenv("MSTLDM_BENCH_LAST_GOOD", str(p))
+
+    e = B.Emitter()
+    e.set(chip="TPU v5 lite", scan_step_ms=0.03)
+    e.set_headline(0.0101, "fused")
+    # No real emit yet: nothing carried.
+    e.carry_forward_missing()
+    assert "mfu_train_b128" not in e.fields
+    e.emit()
+    capsys.readouterr()
+    e.carry_forward_missing()
+    e.emit()
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["value"] == 0.0101                      # fresh headline kept
+    assert d["scan_step_ms"] == 0.03                 # fresh field kept
+    assert d["mfu_train_b128"] == 0.4161             # carried
+    assert d["fields_from_last_good"] == ["mfu_train_b128"]
+    assert d["last_good_measured_at"] == "2026-08-17T18:58:00Z"
+
+    # Different chip: never mix.
+    e2 = B.Emitter()
+    e2.set(chip="TPU v6e")
+    e2.set_headline(0.004, "fused")
+    e2.emit()
+    capsys.readouterr()
+    e2.carry_forward_missing()
+    assert "mfu_train_b128" not in e2.fields

@@ -1,0 +1,234 @@
+"""One-process TPU batch for the round-4 evidence runs: pay relay INIT
+once, run all stages sequentially.  Stages selectable:
+`python tools/tpu_round4_batch.py d1 eval1 cfg sweep gdistill geval
+pareto gen` (default: all).  Every stage flushes its artifacts
+immediately and failures don't abort later stages.  Driven by
+tools/tpu_round4_wrapper.sh, which retries through tunnel outages and
+skips stages whose artifacts already exist.
+
+Stage -> VERDICT r03 task map: d1/eval1 (#3 distill evidence), cfg/sweep
+(#2 CFG quality evidence), gdistill/geval (#3 guided distillation),
+pareto (#6 SDEdit operating-point front), gen (generation FAD)."""
+import dataclasses
+import sys
+import time
+import traceback
+from pathlib import Path
+
+REPO = Path("/root/repo")
+sys.path.insert(0, str(REPO))
+
+STAGES = set(sys.argv[1:]) or {"d1", "eval1", "cfg", "sweep",
+                               "gdistill", "geval", "pareto", "gen"}
+
+from music_style_transfer_ldm_tpu.utils.cache import (  # noqa: E402
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
+import jax  # noqa: E402
+
+t0 = time.time()
+print("devices:", jax.devices(), f"(init {time.time() - t0:.0f}s)",
+      flush=True)
+
+from music_style_transfer_ldm_tpu.config import default_config  # noqa: E402
+from music_style_transfer_ldm_tpu.datasets import (  # noqa: E402
+    PackedBatchLoader, PackedPairDataset, train_test_split,
+)
+from music_style_transfer_ldm_tpu.models.ldm import load_ldm  # noqa: E402
+from music_style_transfer_ldm_tpu.training.distill import (  # noqa: E402
+    ProgressiveDistiller,
+)
+
+WORK = REPO / "runs" / "fullscale"
+TEACHER = WORK / "runs" / "ldm" / "ldm_final"
+PACK = WORK / "train.spk"
+PAIRINGS = WORK / "pairings.csv"
+RESULTS_D = REPO / "docs" / "results" / "distill"
+RESULTS_G = REPO / "docs" / "results" / "guidance"
+
+
+def banner(s):
+    print(f"\n==== {s} ({time.time() - t0:.0f}s) ====", flush=True)
+
+
+def pair_loader(batch=128, split=False):
+    ds = PackedPairDataset(PACK, PAIRINGS)
+    if split:
+        tr, _ = train_test_split(len(ds), 0.8, seed=42)
+    else:
+        tr = None
+    return PackedBatchLoader(ds, batch, indices=tr, shuffle=True, seed=42,
+                             dtype="uint8")
+
+
+def run_eval_transfer(ckpt, json_name, out_dir=RESULTS_D, steps=50,
+                      sample_steps=None, guidance=1.0, sampler="ddim"):
+    import tools.eval_transfer as et
+    argv = ["eval_transfer", "--checkpoint", str(ckpt),
+            "--pack", str(PACK), "--pairings", str(PAIRINGS),
+            "--n-pairs", "16", "--steps", str(steps),
+            "--sampler", sampler, "--guidance", str(guidance),
+            "--out-dir", str(out_dir), "--json-name", json_name]
+    if sample_steps is not None:
+        argv += ["--sample-steps", str(sample_steps)]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        rc = et.main()
+    finally:
+        sys.argv = old
+    assert rc == 0, json_name
+
+
+# ---- stage d1: final 3 -> 1 distillation -------------------------------
+if "d1" in STAGES:
+    banner("d1: distill 3 -> 1 (factor 3)")
+    try:
+        cfg = default_config()
+        cfg.train = dataclasses.replace(cfg.train, batch_size=128)
+        _, variables = load_ldm(cfg,
+                                full_checkpoint=REPO / "runs" / "distill"
+                                / "distilled_3")
+        dist = ProgressiveDistiller(cfg, t_max=50)
+        _, info = dist.distill(variables, pair_loader(), stages=(3,),
+                               steps_per_stage=800, lr=1e-4,
+                               out_dir=REPO / "runs" / "distill1", seed=42)
+        print("d1 info:", info["history"], flush=True)
+    except Exception:
+        traceback.print_exc()
+
+# ---- stage eval1: evaluate the 1-step student ---------------------------
+if "eval1" in STAGES:
+    banner("eval1: 1-step student + raw 2-pt teacher grid + fidelity")
+    try:
+        run_eval_transfer(REPO / "runs" / "distill1" / "distilled_1",
+                          "transfer_eval_distill1.json", sample_steps=2)
+    except Exception:
+        traceback.print_exc()
+    try:
+        run_eval_transfer(TEACHER, "transfer_eval_teacher_1step.json",
+                          sample_steps=2)
+    except Exception:
+        traceback.print_exc()
+    try:
+        import tools.eval_distill_fidelity as ef
+        old = sys.argv
+        sys.argv = ["eval_distill_fidelity", "--teacher", str(TEACHER),
+                    "--student",
+                    str(REPO / "runs" / "distill1" / "distilled_1"),
+                    "--sample-steps", "2", "--pack", str(PACK),
+                    "--pairings", str(PAIRINGS),
+                    "--out", str(RESULTS_D / "distill_fidelity_1.json")]
+        try:
+            assert ef.main() == 0
+        finally:
+            sys.argv = old
+    except Exception:
+        traceback.print_exc()
+
+# ---- stage cfg: style-dropout finetune of the teacher -------------------
+if "cfg" in STAGES:
+    banner("cfg: style-dropout finetune (24 epochs)")
+    try:
+        from music_style_transfer_ldm_tpu.training import LDMTrainer
+        cfg = default_config()
+        cfg.train = dataclasses.replace(
+            cfg.train, batch_size=128, style_dropout=0.2,
+            learning_rate=1.25e-4, ckpt_every_epochs=50,
+            style_loss_stop_gradient=False)
+        trainer = LDMTrainer(cfg)
+        loader = pair_loader(split=True)
+        start = 18786 // max(len(loader), 1)  # step at ldm_final
+        trainer.train(loader, num_epochs=start + 24,
+                      out_dir=REPO / "runs" / "cfg_finetune",
+                      resume_from=TEACHER)
+        print("cfg finetune done", flush=True)
+    except Exception:
+        traceback.print_exc()
+
+# ---- stage sweep: guidance sweep on the finetuned teacher ---------------
+CFG_FINAL = REPO / "runs" / "cfg_finetune" / "ldm_final"
+if "sweep" in STAGES:
+    banner("sweep: guidance 0 / 1 / 1.5 / 2 / 3")
+    for g in (0.0, 1.0, 1.5, 2.0, 3.0):
+        try:
+            run_eval_transfer(CFG_FINAL, f"transfer_eval_g{g:g}.json",
+                              out_dir=RESULTS_G, guidance=g)
+        except Exception:
+            traceback.print_exc()
+
+# ---- stage gdistill: guided distillation cascade ------------------------
+if "gdistill" in STAGES:
+    banner("gdistill: guided (g=1.5) cascade 48->24->12->6")
+    try:
+        cfg = default_config()
+        cfg.train = dataclasses.replace(cfg.train, batch_size=128)
+        _, variables = load_ldm(cfg, full_checkpoint=CFG_FINAL)
+        dist = ProgressiveDistiller(cfg, t_max=50)
+        _, info = dist.distill(variables, pair_loader(),
+                               stages=(48, 24, 12, 6),
+                               steps_per_stage=400, lr=1e-4,
+                               out_dir=REPO / "runs" / "distill_cfg",
+                               seed=42, guidance=1.5)
+        print("gdistill info:", info["history"], flush=True)
+    except Exception:
+        traceback.print_exc()
+
+# ---- stage geval: guided student vs guided teacher ----------------------
+if "geval" in STAGES:
+    banner("geval: unguided 6-step student vs g=1.5 teacher")
+    try:
+        run_eval_transfer(CFG_FINAL, "transfer_eval_teacher50_g1_5.json",
+                          out_dir=RESULTS_G, guidance=1.5)
+    except Exception:
+        traceback.print_exc()
+    try:
+        run_eval_transfer(REPO / "runs" / "distill_cfg" / "distilled_6",
+                          "transfer_eval_gstudent6.json",
+                          out_dir=RESULTS_G, sample_steps=7, guidance=1.0)
+    except Exception:
+        traceback.print_exc()
+
+# ---- stage pareto: SDEdit operating-point sweep (VERDICT r04 #6) --------
+# Content-preservation vs style-reduction front over the transfer noising
+# depth (num_timesteps: how far the content latent is noised before the
+# denoising walk) x grid resolution (full vs dpm++-style half grid).
+# Each eval JSON already carries BOTH raw and level-matched metric blocks,
+# so match-level on/off falls out of one run. Teacher checkpoint = the
+# flagship fullscale run; results -> docs/results/sweep/.
+RESULTS_S = REPO / "docs" / "results" / "sweep"
+if "pareto" in STAGES:
+    banner("pareto: depth {30,50,80,120} x {full, half} grid")
+    for depth in (30, 50, 80, 120):
+        for grid_name, ss in (("full", None), ("half", depth // 2 + 1)):
+            try:
+                run_eval_transfer(
+                    TEACHER, f"transfer_eval_t{depth}_{grid_name}.json",
+                    out_dir=RESULTS_S, steps=depth, sample_steps=ss)
+            except Exception:
+                traceback.print_exc()
+
+# ---- stage gen: generation eval per class -------------------------------
+if "gen" in STAGES:
+    banner("gen: generation FAD eval, all classes")
+    import tools.eval_generate as eg
+    for cls in range(4):
+        try:
+            old = sys.argv
+            sys.argv = ["eval_generate", "--checkpoint", str(TEACHER),
+                        "--pack", str(PACK), "--style-class", str(cls),
+                        "--n", "16", "--steps", "100",
+                        "--out", str(REPO / "docs" / "results" /
+                                     "fullscale" /
+                                     f"generate_eval_c{cls}.json")]
+            try:
+                assert eg.main() == 0
+            finally:
+                sys.argv = old
+        except Exception:
+            traceback.print_exc()
+
+print(f"\nALL DONE in {time.time() - t0:.0f}s", flush=True)
