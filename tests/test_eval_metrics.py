@@ -134,3 +134,37 @@ def test_fad_metrics_move_toward_style(sets):
     assert m["fad_reduction_pct"] > 30
     same = fad_metrics(content, content, style, seed=11)
     assert same["fad_reduction_pct"] == 0.0
+
+
+def test_summarize_sweep_pareto_marking(tmp_path, capsys):
+    """tools/summarize_sweep: rows dominated on (style up, content-MSE
+    down) are unmarked; the front is marked; ties don't dominate."""
+    import json
+    import sys
+    sys.path.insert(0, "tools")
+    import summarize_sweep as ss
+
+    def art(depth, grid, style, mse, ssteps=None):
+        (tmp_path / f"transfer_eval_t{depth}_{grid}.json").write_text(
+            json.dumps({
+                "vggish_multiseed_style_reduction_pct":
+                    {"11": style, "29": style},
+                "level_matched": {"logmel_shape_reduction_pct": 80.0},
+                "spectral_convergence_transfer_vs_style": 0.9,
+                "pixel_mse_transfer_vs_content": mse,
+                "sample_steps": ssteps, "eval_backend": "cpu"}))
+
+    art(30, "full", 70.0, 0.010)          # pareto (cheapest content cost)
+    art(50, "full", 90.0, 0.020)          # pareto
+    art(50, "half", 85.0, 0.025, 26)      # dominated by t50_full
+    art(120, "full", 95.0, 0.040)         # pareto (max style)
+    rows = ss.load_rows(tmp_path)
+    ss.mark_pareto(rows)
+    got = {(r["depth"], r["grid"]): r["pareto"] for r in rows}
+    assert got[(30, "full")] and got[(50, "full")] and got[(120, "full")]
+    assert not got[(50, "half")]
+
+    sys.argv = ["summarize_sweep", str(tmp_path)]
+    assert ss.main() == 0
+    out = capsys.readouterr().out
+    assert "half (26)" in out and "**yes**" in out

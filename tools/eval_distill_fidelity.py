@@ -95,6 +95,7 @@ def main() -> int:
         "teacher_coarse": fid(coarse_teacher),
         "student_distilled": fid(coarse_student),
         "teacher": args.teacher, "student": args.student,
+        "eval_backend": jax.default_backend(),
     }
     results["mse_reduction_pct"] = round(
         100.0 * (1.0 - results["student_distilled"]["mse_vs_teacher50"]

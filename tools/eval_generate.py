@@ -133,6 +133,7 @@ def main() -> int:
             log_mel_stats_distance(corpus_b, corpus_a), 6),
         "pairwise_spread_generated": round(pairwise_spread(generated), 4),
         "pairwise_spread_real": round(pairwise_spread(corpus_a), 4),
+        "eval_backend": jax.default_backend(),
     }
     print(json.dumps(results, indent=2), flush=True)
     if args.out:

@@ -129,6 +129,10 @@ def main() -> int:
         "sample_steps": args.sample_steps,
         "guidance": args.guidance,
         "checkpoint": str(args.checkpoint),
+        # Provenance: metric VALUES are backend-independent up to float
+        # noise, but the record should say what produced it (forward-only
+        # evals run on CPU when the TPU relay is down).
+        "eval_backend": jax.default_backend(),
     }
     print(json.dumps(results, indent=2), flush=True)
 

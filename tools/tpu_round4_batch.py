@@ -18,8 +18,10 @@ from pathlib import Path
 REPO = Path("/root/repo")
 sys.path.insert(0, str(REPO))
 
-STAGES = set(sys.argv[1:]) or {"d1", "eval1", "cfg", "sweep",
-                               "gdistill", "geval", "pareto", "gen"}
+FORCE_CPU = "--cpu" in sys.argv
+argv = [a for a in sys.argv[1:] if a != "--cpu"]
+STAGES = set(argv) or {"d1", "eval1", "cfg", "sweep",
+                       "gdistill", "geval", "pareto", "gen"}
 
 from music_style_transfer_ldm_tpu.utils.cache import (  # noqa: E402
     enable_compilation_cache,
@@ -28,6 +30,12 @@ from music_style_transfer_ldm_tpu.utils.cache import (  # noqa: E402
 enable_compilation_cache()
 
 import jax  # noqa: E402
+
+if FORCE_CPU:
+    # Forward-only stages (pareto, gen, the evals) are CPU-feasible when
+    # the relay tunnel is down; the training stages (d1, cfg, gdistill)
+    # are not — select stages accordingly.
+    jax.config.update("jax_platforms", "cpu")
 
 t0 = time.time()
 print("devices:", jax.devices(), f"(init {time.time() - t0:.0f}s)",
