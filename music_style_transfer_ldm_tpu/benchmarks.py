@@ -238,7 +238,8 @@ class Emitter:
     # never lose one of these to a budget-forced section skip.
     _SECONDARY_KEYS = (
         "scan_step_ms", "fused_dpm_halfgrid_transfer_ms",
-        "fused_b4_trajectory_ms", "client_latency_50step_ms",
+        "fused_b4_trajectory_ms", "fused_distill6_transfer_ms",
+        "client_latency_50step_ms",
         "transfer_dpm_halfgrid_ms", "e2e_10s_clip_s", "transfer_b64_ms",
         "transfer_b64_gflop", "mfu_transfer_b64",
         "transfer_b64_dpm25_clips_per_s", "transfer_b64_distill6_clips_per_s",
@@ -564,6 +565,43 @@ def main() -> None:
         emitter.emit()
     except Exception as e:  # noqa: BLE001
         log(f"batched fused chain failed: {e!r}")
+
+    # ---- fused kernel on a distilled 6-step grid (fastest single clip) ----
+    # The progressive-distillation student (training/distill.py) samples on
+    # transfer_time_grid(50, 7) — 6 denoiser evaluations per transfer.  Run
+    # that grid through the whole-trajectory Pallas kernel: the lowest
+    # single-clip latency the framework offers (distillation x fusion
+    # compose; CLI: `transfer --sampler fused --sample-steps 7`).  Timing
+    # only — kernel cost is weight-independent, so random params are fine.
+    try:
+        if over_budget("fused distilled-grid chain"):
+            raise TimeoutError("budget")
+        d6_grid = transfer_time_grid(steps, 7)
+        # ~6/49 of the full trajectory's work: chain 8x more so device
+        # compute still dominates the ~2 ms relay RTT jitter.
+        n_chain_d6 = n_chain * 8
+
+        @jax.jit
+        def chain_fused_d6(z):
+            ops, names = pack_operands(variables["params"]["unet"], emb,
+                                       sched, d6_grid, 0.0,
+                                       dtype=jnp.bfloat16)
+            return jax.lax.fori_loop(
+                0, n_chain_d6,
+                lambda i, z: fused_ddim_sample(ops, names, z,
+                                               len(d6_grid) - 1,
+                                               dtype=jnp.bfloat16,
+                                               interpret=on_cpu), z)
+
+        f6_s, _ = timed(chain_fused_d6, z0, warmup=25)
+        fused_d6_ms = max(f6_s - floor_s, 1e-9) / n_chain_d6 * 1000.0
+        log(f"fused distilled 6-step trajectory x{n_chain_d6} chained: "
+            f"{fused_d6_ms:.4f} ms per FULL transfer (device, "
+            f"{1000.0 / fused_d6_ms:.0f} clips/s at batch 1)")
+        emitter.set(fused_distill6_transfer_ms=round(fused_d6_ms, 4))
+        emitter.emit()
+    except Exception as e:  # noqa: BLE001
+        log(f"fused distilled-grid chain failed: {e!r}")
 
     # ---- single-call client latency (relay-bound; context number) --------
     def transfer(content, style):
