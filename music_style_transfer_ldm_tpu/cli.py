@@ -409,6 +409,36 @@ def _save_outputs(img01: np.ndarray, output: str, ap,
     print(f"wrote {out.with_suffix('.png')} and {out.with_suffix('.wav')}")
 
 
+def _serve_engine_config(ecfg, args, path, name):
+    """Per-model EngineConfig: a progressively distilled student only ever
+    trained on its own coarse grid (training/distill.py metadata), so
+    serving adopts that grid unless the user pinned --sample-steps — in
+    which case an off-grid choice warns exactly like `transfer` does."""
+    import dataclasses
+
+    from music_style_transfer_ldm_tpu.models.ldm import (
+        checkpoint_distill_meta,
+    )
+    meta = checkpoint_distill_meta(path)
+    if not meta:
+        return ecfg
+    want_steps = int(meta.get("t_max", args.steps))
+    want_sample = int(meta.get("steps", 0)) + 1
+    if args.sample_steps is None:
+        print(f"{name}: distilled checkpoint (stages {meta.get('stages')}):"
+              f" serving on its trained grid steps={want_steps} "
+              f"sample_steps={want_sample}", flush=True)
+        return dataclasses.replace(ecfg, steps=want_steps,
+                                   sample_steps=want_sample)
+    if int(args.steps) != want_steps or int(args.sample_steps) != want_sample:
+        print(f"WARNING: {name}: checkpoint was distilled for --steps "
+              f"{want_steps} --sample-steps {want_sample}, but serving with "
+              f"--steps {args.steps} --sample-steps {args.sample_steps}: "
+              "the student never trained on this grid and output quality "
+              "will degrade silently", file=sys.stderr)
+    return ecfg
+
+
 def cmd_serve(args) -> int:
     """Run the HTTP inference server over a checkpoint."""
     from music_style_transfer_ldm_tpu.config import default_config
@@ -435,7 +465,8 @@ def cmd_serve(args) -> int:
         name = name or ("default" if not engines else
                         f"model{len(engines)}")
         model, variables = _restore_ldm(cfg, path)
-        engines[name] = InferenceEngine(model, variables, ecfg, mesh=mesh)
+        m_ecfg = _serve_engine_config(ecfg, args, path, name)
+        engines[name] = InferenceEngine(model, variables, m_ecfg, mesh=mesh)
     print(f"warming {len(args.buckets)} batch buckets x "
           f"{len(engines)} model(s)...", flush=True)
     for eng in engines.values():

@@ -147,3 +147,52 @@ def test_warn_distill_mismatch(tmp_path, capsys):
     _warn_distill_mismatch(argparse.Namespace(checkpoint=str(stock),
                                               steps=100, sample_steps=None))
     assert capsys.readouterr().err == ""
+
+
+def test_serve_adopts_distilled_grid(tmp_path, capsys):
+    """`serve` over a distilled checkpoint adopts the student's trained
+    grid per model (steps=t_max, sample_steps=N+1) when --sample-steps is
+    unset; a pinned off-grid choice warns; stock checkpoints and matching
+    pins pass the config through untouched."""
+    import argparse
+
+    from music_style_transfer_ldm_tpu.cli import _serve_engine_config
+    from music_style_transfer_ldm_tpu.serving import EngineConfig
+    from music_style_transfer_ldm_tpu.training import checkpoint as ckpt_lib
+
+    student = tmp_path / "student"
+    ckpt_lib.save_pytree(student, {
+        "params": {"w": np.zeros(2, np.float32)},
+        "batch_stats": {},
+        "format_version": np.asarray(ckpt_lib.FORMAT_VERSION),
+        "distill": {"steps": 6, "t_max": 50, "stages": [48, 24, 12, 6],
+                    "guidance": 1.0}})
+    stock = tmp_path / "stock"
+    ckpt_lib.save_pytree(stock, {
+        "params": {"w": np.zeros(2, np.float32)}, "batch_stats": {},
+        "format_version": np.asarray(ckpt_lib.FORMAT_VERSION)})
+
+    ecfg = EngineConfig(steps=100, sample_steps=None)
+
+    def ns(steps, sample_steps):
+        return argparse.Namespace(steps=steps, sample_steps=sample_steps)
+
+    # Unpinned: the student's grid is adopted, with a note.
+    got = _serve_engine_config(ecfg, ns(100, None), str(student), "m")
+    assert (got.steps, got.sample_steps) == (50, 7)
+    assert "trained grid" in capsys.readouterr().out
+
+    # Pinned off-grid: config unchanged but the user is warned.
+    got = _serve_engine_config(ecfg, ns(100, 13), str(student), "m")
+    assert got is ecfg
+    assert "WARNING" in capsys.readouterr().err
+
+    # Pinned on-grid: silent pass-through.
+    got = _serve_engine_config(EngineConfig(steps=50, sample_steps=7),
+                               ns(50, 7), str(student), "m")
+    capture = capsys.readouterr()
+    assert capture.err == "" and (got.steps, got.sample_steps) == (50, 7)
+
+    # Stock checkpoint: untouched, silent.
+    got = _serve_engine_config(ecfg, ns(100, None), str(stock), "m")
+    assert got is ecfg and capsys.readouterr().err == ""
