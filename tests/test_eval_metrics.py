@@ -160,6 +160,16 @@ def test_summarize_sweep_pareto_marking(tmp_path, capsys):
     art(120, "full", 95.0, 0.040)         # pareto (max style)
     rows = ss.load_rows(tmp_path)
     ss.mark_pareto(rows)
+    # Artifacts carrying the recon-referenced drift use it over the raw
+    # content MSE (which is floored at the AE recon error).
+    import json as _json
+    p = tmp_path / "transfer_eval_t30_full.json"
+    rich = _json.loads(p.read_text())
+    rich["pixel_mse_transfer_vs_content_recon"] = 0.003
+    p.write_text(_json.dumps(rich))
+    assert ss.load_rows(tmp_path)[0]["mse_content"] == 0.003
+    p.write_text(_json.dumps({**rich,
+                              "pixel_mse_transfer_vs_content_recon": 0.010}))
     got = {(r["depth"], r["grid"]): r["pareto"] for r in rows}
     assert got[(30, "full")] and got[(50, "full")] and got[(120, "full")]
     assert not got[(50, "half")]

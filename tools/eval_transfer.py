@@ -81,6 +81,19 @@ def main() -> int:
     decoded = np.asarray(decoded)
     content_np, style_np = np.asarray(content), np.asarray(style)
 
+    # Content preservation must be measured against what a zero-drift
+    # transfer could actually return: the autoencoder's own
+    # reconstruction of the content.  MSE vs the raw content input is
+    # floored at the AE recon error + the decoder's dynamic-range
+    # compression (~0.063 on the fullscale model) and barely moves with
+    # noising depth, which flattens any operating-point front.
+    from music_style_transfer_ldm_tpu.models.ldm import LDM
+    z_content = model.apply(variables, content.astype(jnp.float32),
+                            method=LDM.encode)
+    recon = np.asarray(
+        (model.apply(variables, z_content, method=LDM.decode)
+         .astype(jnp.float32) + 1.0) / 2.0)
+
     mse = lambda a, b: float(np.mean((a - b) ** 2))
     # seed 3 is the TRAINING style trunk (train_ldm.py: seed+3) — kept for
     # continuity with earlier reports, but see the independent block below.
@@ -115,6 +128,10 @@ def main() -> int:
         "n_pairs": len(idx),
         "steps": args.steps,
         "pixel_mse_transfer_vs_content": round(mse(decoded, content_np), 4),
+        # Sampler-induced content drift, with the AE floor factored out
+        # (see recon comment above); the floor itself is recorded next.
+        "pixel_mse_transfer_vs_content_recon": round(mse(decoded, recon), 4),
+        "pixel_mse_recon_vs_content": round(mse(recon, content_np), 4),
         "pixel_mse_transfer_vs_style": round(mse(decoded, style_np), 4),
         "pixel_mse_content_vs_style_baseline": round(mse(content_np,
                                                          style_np), 4),

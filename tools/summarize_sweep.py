@@ -39,7 +39,12 @@ def load_rows(d: Path) -> list[dict]:
                              .get("logmel_shape_reduction_pct")),
             "spec_conv_style": j.get(
                 "spectral_convergence_transfer_vs_style"),
-            "mse_content": j.get("pixel_mse_transfer_vs_content"),
+            # Prefer the recon-referenced drift when the artifact has it:
+            # MSE vs the raw content input is floored at the AE recon
+            # error (~0.063) and barely moves with depth.
+            "mse_content": j.get(
+                "pixel_mse_transfer_vs_content_recon",
+                j.get("pixel_mse_transfer_vs_content")),
             "backend": j.get("eval_backend", "?"),
         })
     rows.sort(key=lambda r: (r["depth"], r["grid"]))
@@ -71,8 +76,8 @@ def main() -> int:
         return 1
     mark_pareto(rows)
     print("| depth | grid | style red % (indep mean) | shape red % "
-          "(lvl-matched) | spec-conv vs style | pixel MSE vs content "
-          "| pareto |")
+          "(lvl-matched) | spec-conv vs style | content drift (pixel MSE "
+          "vs AE recon) | pareto |")
     print("|" + "---|" * 7)
     for r in rows:
         grid = (f"{r['grid']} ({r['sample_steps']})" if r["sample_steps"]
