@@ -376,6 +376,15 @@ class ProgressiveDistiller:
                                              content, style, key, w)
                     losses.append(metrics["distill_loss"])
                     done += 1
+                    if done % 100 == 0 or done == steps_per_stage:
+                        # One host readback per 100 steps: negligible sync
+                        # cost, and long stages (800 steps is ~25 min on
+                        # CPU) are observable instead of silent.
+                        print(f"  distill {n_teacher}->{n_student} step "
+                              f"{done}/{steps_per_stage} "
+                              f"loss {float(losses[-1]):.5f} "
+                              f"({done / (time.time() - t0):.2f} steps/s)",
+                              flush=True)
                     if done >= steps_per_stage:
                         break
                 if not made_progress:
