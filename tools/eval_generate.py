@@ -20,7 +20,7 @@ transfer eval uses (evaluation/metrics.py):
     python tools/eval_generate.py --checkpoint runs/.../ldm_final \
         --pack runs/fullscale/train.spk --style-class 0 --n 16 \
         [--steps 100] [--sampler ddim|dpm++] [--guidance g] \
-        [--out docs/results/fullscale/generate_eval.json]
+        [--out docs/results/fullscale/generate_eval_c0.json]
 """
 
 from __future__ import annotations

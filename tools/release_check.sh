@@ -42,6 +42,10 @@ run_stage "multi-chip dryrun (8 virtual devices)" "$TMP/dryrun.log" \
     python -c 'import __graft_entry__ as g; g.dryrun_multichip(8)'"
 DRYRUN_RC=$?
 
+run_stage "doc-artifact consistency" "$TMP/docs.log" \
+  bash -c "cd '$TMP/clone' && python tools/check_doc_artifacts.py"
+DOCS_RC=$?
+
 BENCH_ENV=""
 if [ "${RELEASE_CHECK_WARM:-0}" != "1" ]; then
   BENCH_ENV="MSTLDM_COMPILE_CACHE=$TMP/cold_cache"
@@ -50,11 +54,11 @@ run_stage "headline bench (driver contract: timeout 600)" "$TMP/bench.log" \
   bash -c "cd '$REPO' && env $BENCH_ENV timeout 600 python bench.py"
 BENCH_RC=$?
 
-python - "$REPORT" "$TMP" "$SUITE_RC" "$DRYRUN_RC" "$BENCH_RC" <<'EOF'
+python - "$REPORT" "$TMP" "$SUITE_RC" "$DRYRUN_RC" "$BENCH_RC" "$DOCS_RC" <<'EOF'
 import json, sys, time
 from pathlib import Path
 
-report_path, tmp, suite_rc, dryrun_rc, bench_rc = sys.argv[1:6]
+report_path, tmp, suite_rc, dryrun_rc, bench_rc, docs_rc = sys.argv[1:7]
 tmp = Path(tmp)
 
 def tail(name, n=15):
@@ -80,17 +84,20 @@ report = {
     "bench": {"rc": int(bench_rc), "parsed": parsed,
               "stale": bool(parsed.get("stale")) if parsed else None,
               "tail": tail("bench.log", 15)},
+    "doc_artifacts": {"rc": int(docs_rc), "tail": tail("docs.log", 8)},
 }
 report["pass"] = (report["suite"]["rc"] == 0 and report["dryrun"]["rc"] == 0
                   and report["bench"]["rc"] == 0 and parsed is not None
-                  and not report["bench"]["stale"])
+                  and not report["bench"]["stale"]
+                  and report["doc_artifacts"]["rc"] == 0)
 Path(report_path).write_text(json.dumps(report, indent=1) + "\n")
 print(f"report -> {report_path}  pass={report['pass']}")
 EOF
 
-if [ "$SUITE_RC" -eq 0 ] && [ "$DRYRUN_RC" -eq 0 ] && [ "$BENCH_RC" -eq 0 ]; then
+if [ "$SUITE_RC" -eq 0 ] && [ "$DRYRUN_RC" -eq 0 ] && [ "$BENCH_RC" -eq 0 ] \
+   && [ "$DOCS_RC" -eq 0 ]; then
   echo "release check PASSED (see $REPORT for the bench stale flag)"
 else
-  echo "release check FAILED (suite=$SUITE_RC dryrun=$DRYRUN_RC bench=$BENCH_RC)"
+  echo "release check FAILED (suite=$SUITE_RC dryrun=$DRYRUN_RC bench=$BENCH_RC docs=$DOCS_RC)"
   exit 1
 fi

@@ -41,10 +41,13 @@ def load_rows(d: Path) -> list[dict]:
                 "spectral_convergence_transfer_vs_style"),
             # Prefer the recon-referenced drift when the artifact has it:
             # MSE vs the raw content input is floored at the AE recon
-            # error (~0.063) and barely moves with depth.
+            # error (~0.063) and barely moves with depth.  An artifact
+            # predating that metric falls back to the raw-input MSE and
+            # is flagged so the column is never silently mislabeled.
             "mse_content": j.get(
                 "pixel_mse_transfer_vs_content_recon",
                 j.get("pixel_mse_transfer_vs_content")),
+            "mse_is_recon": "pixel_mse_transfer_vs_content_recon" in j,
             "backend": j.get("eval_backend", "?"),
         })
     rows.sort(key=lambda r: (r["depth"], r["grid"]))
@@ -84,8 +87,14 @@ def main() -> int:
                 else r["grid"])
         star = "**yes**" if r["pareto"] else ""
         sr = f"{r['style_red']:.1f}" if r["style_red"] is not None else "-"
+        mse = (f"{r['mse_content']}" if r["mse_is_recon"]
+               else f"{r['mse_content']} (vs raw input!)")
         print(f"| {r['depth']} | {grid} | {sr} | {r['shape_red_lm']} "
-              f"| {r['spec_conv_style']} | {r['mse_content']} | {star} |")
+              f"| {r['spec_conv_style']} | {mse} | {star} |")
+    if not all(r["mse_is_recon"] for r in rows):
+        print("\nNOTE: rows marked '(vs raw input!)' predate the "
+              "recon-referenced drift metric; their MSE is floored at the "
+              "AE reconstruction error and not comparable to recon rows.")
     return 0
 
 
