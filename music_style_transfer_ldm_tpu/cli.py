@@ -151,7 +151,8 @@ def cmd_distill(args) -> int:
     _, info = dist.distill(variables, loader, stages=stages,
                            steps_per_stage=args.steps_per_stage,
                            lr=args.lr, out_dir=args.out_dir,
-                           seed=cfg.train.seed, guidance=args.guidance)
+                           seed=cfg.train.seed, guidance=args.guidance,
+                           inflight_every=args.inflight_every)
     final = info["steps"]
     # --steps must match the distillation range: the student only ever saw
     # the grid linspace(t_max-1, 0, N+1); sampling it with a different
@@ -577,6 +578,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "= last//2, or 1 when the last entry is odd "
                          "(e.g. 48,24,12,6,3 ends at one denoiser eval)")
     dl.add_argument("--steps-per-stage", type=int, default=400)
+    dl.add_argument("--inflight-every", type=int, default=200,
+                    help="checkpoint the live stage every N steps and "
+                         "resume an interrupted stage from it (0 = off)")
     dl.add_argument("--lr", type=float, default=1e-4)
     dl.add_argument("--batch-size", type=int)
     dl.add_argument("--t-max", type=int, default=100,

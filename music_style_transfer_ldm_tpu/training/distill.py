@@ -40,6 +40,7 @@ produces exactly the grid the student was trained on.
 
 from __future__ import annotations
 
+import shutil
 import time
 from pathlib import Path
 from typing import Optional, Sequence
@@ -60,6 +61,50 @@ from music_style_transfer_ldm_tpu.training.optim import make_optimizer
 from music_style_transfer_ldm_tpu.training.state import (
     TrainState, as_unit_images, prefetch_to_device,
 )
+
+
+def _save_inflight(path: Path, state: TrainState, meta: dict) -> None:
+    """Atomic-enough in-flight save: write aside, then swap directories.
+
+    A crash mid-write leaves the previous in-flight save (or nothing)
+    behind, never a half-written directory under the resume path.
+    """
+    tmp = path.with_name(path.name + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    ckpt_lib.save_train_state(tmp, jax.device_get(state), extra=meta)
+    shutil.rmtree(path, ignore_errors=True)
+    tmp.rename(path)
+
+
+def _restore_inflight(path: Path, template: TrainState
+                      ) -> tuple[TrainState, dict]:
+    """-> (restored TrainState, meta dict with done/stage identifiers)."""
+    meta_t = {"done": np.asarray(0), "teacher_steps": np.asarray(0),
+              "student_steps": np.asarray(0),
+              "head": np.asarray(0.0, np.float64)}
+    payload = ckpt_lib.restore_pytree(path, {
+        "params": template.params, "batch_stats": template.batch_stats,
+        "opt_state": template.opt_state, "step": np.asarray(0),
+        "format_version": np.asarray(ckpt_lib.FORMAT_VERSION),
+        "extra": meta_t})
+    state = TrainState(params=payload["params"],
+                       batch_stats=payload["batch_stats"],
+                       opt_state=payload["opt_state"],
+                       step=jnp.asarray(payload["step"]))
+    # Re-place restored host arrays on their template leaves' MESH
+    # shardings so a tp/dp cascade resumes with identical layouts.
+    # Leaves the template holds uncommitted (e.g. optimizer step counters
+    # created eagerly by tx.init) must STAY uncommitted: device_put would
+    # pin them to one device and the jitted step then rejects the
+    # committed-device mix.
+    def _replace(t, h):
+        sh = getattr(t, "sharding", None)
+        if isinstance(sh, jax.sharding.NamedSharding):
+            return jax.device_put(h, sh)
+        return jnp.asarray(h)
+
+    state = jax.tree_util.tree_map(_replace, template, state)
+    return state, payload["extra"]
 
 
 def ddim_step(z_t: jax.Array, eps_hat: jax.Array, ab_t: jax.Array,
@@ -291,7 +336,8 @@ class ProgressiveDistiller:
                 stages: Sequence[int] = (96, 48, 24, 12, 6),
                 steps_per_stage: int = 400, lr: float = 1e-4,
                 out_dir: str | Path = "runs/distill",
-                seed: int = 0, guidance: float = 1.0) -> tuple[dict, dict]:
+                seed: int = 0, guidance: float = 1.0,
+                inflight_every: int = 200) -> tuple[dict, dict]:
         """Run the full halving schedule.
 
         variables: full-LDM {"params", "batch_stats"} (the converged
@@ -315,6 +361,16 @@ class ProgressiveDistiller:
         Returns (distilled_variables, info); intermediate students are
         checkpointed per stage, so every step count in the cascade stays
         usable.
+
+        inflight_every > 0 additionally checkpoints the live TrainState
+        every that-many steps (``out_dir/inflight_<stage>``), and a rerun
+        of the same cascade resumes the interrupted stage from the last
+        such save instead of from the stage start: long stages survive
+        relay stalls and host restarts (an 800-step stage is multi-hour
+        on the single-core CPU fallback).  The RNG stream continues
+        exactly (keys are derived from the restored step counter); the
+        data order does not (the loader reshuffles), which matches plain
+        epoch-resume semantics elsewhere in the trainers.
         """
         stages = [int(n) for n in stages]
         students = []
@@ -358,6 +414,29 @@ class ProgressiveDistiller:
                 step=jnp.zeros((), jnp.int32))
 
             done, losses, t0 = 0, [], time.time()
+            head_override = None
+            inflight = out_dir / f"inflight_{n_teacher}to{n_student}"
+            if inflight_every and inflight.exists():
+                try:
+                    state, meta = _restore_inflight(inflight, state)
+                    if (int(meta["teacher_steps"]) == n_teacher
+                            and int(meta["student_steps"]) == n_student):
+                        done = int(meta["done"])
+                        head_override = (float(meta["head"])
+                                         if done >= 20 else None)
+                        print(f"  distill {n_teacher}->{n_student}: "
+                              f"resumed in-flight at step {done}/"
+                              f"{steps_per_stage}", flush=True)
+                    else:  # stale dir from a different cascade recipe
+                        state = TrainState(
+                            params=jax.tree_util.tree_map(
+                                jnp.array, teacher_params),
+                            batch_stats=batch_stats,
+                            opt_state=tx.init(teacher_params),
+                            step=jnp.zeros((), jnp.int32))
+                except Exception as e:  # noqa: BLE001 — corrupt save
+                    print(f"  distill: in-flight restore failed "
+                          f"({e!r}); restarting stage", flush=True)
             while done < steps_per_stage:
                 def place(batch):
                     (content, _), (style, _) = batch
@@ -385,6 +464,18 @@ class ProgressiveDistiller:
                               f"loss {float(losses[-1]):.5f} "
                               f"({done / (time.time() - t0):.2f} steps/s)",
                               flush=True)
+                    if (inflight_every and done % inflight_every == 0
+                            and done < steps_per_stage):
+                        head = (head_override if head_override is not None
+                                else float(np.mean(jax.device_get(
+                                    losses[:20]))) if len(losses) >= 20
+                                else 0.0)
+                        _save_inflight(
+                            inflight, state,
+                            {"done": np.asarray(done),
+                             "teacher_steps": np.asarray(n_teacher),
+                             "student_steps": np.asarray(n_student),
+                             "head": np.asarray(head, np.float64)})
                     if done >= steps_per_stage:
                         break
                 if not made_progress:
@@ -403,8 +494,11 @@ class ProgressiveDistiller:
             # batch_stats are the ones threaded through the final state.
             batch_stats = state.batch_stats
             losses = [float(v) for v in jax.device_get(losses)]
-            head = float(np.mean(losses[:20]))
-            tail = float(np.mean(losses[-20:]))
+            # On an in-flight resume this run's first losses are mid-stage
+            # values; the stage-entry head travels in the in-flight meta.
+            head = (head_override if head_override is not None
+                    else float(np.mean(losses[:20])) if losses else 0.0)
+            tail = float(np.mean(losses[-20:])) if losses else head
             logger.log(epoch=stage_idx, teacher_steps=n_teacher,
                        student_steps=n_student, steps=done,
                        loss_head=head, loss_tail=tail,
@@ -421,6 +515,8 @@ class ProgressiveDistiller:
                  "distill": {"steps": n_student, "t_max": self.t_max,
                              "stages": stages[:stage_idx + 1],
                              "guidance": guidance}})
+            if inflight.exists():  # stage landed; drop the partial save
+                shutil.rmtree(inflight, ignore_errors=True)
 
         info = {"steps": students[-1], "t_max": self.t_max,
                 "stages": stages, "guidance": guidance,

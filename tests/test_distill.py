@@ -279,3 +279,75 @@ def test_distill_exhausted_iterator_raises(tmp_path, rng):
     with pytest.raises(RuntimeError, match="re-iterable"):
         dist.distill(variables, one_shot, stages=(2,), steps_per_stage=4,
                      lr=1e-3, out_dir=tmp_path, seed=0)
+
+
+def test_distill_inflight_resume(tmp_path, rng, capsys):
+    """An interrupted stage resumes from the periodic in-flight save
+    (training/distill.py _save_inflight/_restore_inflight): pre-seed the
+    in-flight directory exactly as the loop writes it, rerun the cascade,
+    and the stage picks up at the saved step (metrics still report the
+    full per-stage count); a landed stage removes its in-flight dir; a
+    stale dir from a DIFFERENT cascade recipe is ignored."""
+    from music_style_transfer_ldm_tpu.training.distill import (
+        _restore_inflight, _save_inflight,
+    )
+    from music_style_transfer_ldm_tpu.training.state import TrainState
+
+    cfg = tiny_config()
+    mesh = make_mesh((-1, 1))
+    dist = ProgressiveDistiller(cfg, mesh=mesh, t_max=100)
+    S = cfg.model.image_size
+    x = jnp.zeros((1, S, S, 1))
+    variables = dist.model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        x, x, jnp.zeros((1,), jnp.int32))
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+
+    # Mid-stage state exactly as distill() builds it (same optimizer).
+    teacher_grid, _ = distill_stage_grids(100, 4, 2)
+    _, tx = dist._stage_step_fn(teacher_grid, 1e-3, 2, guidance=1.0)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]),
+                       step=jnp.asarray(5, jnp.int32))
+    inflight = tmp_path / "inflight_4to2"
+    _save_inflight(inflight, state,
+                   {"done": np.asarray(5), "teacher_steps": np.asarray(4),
+                    "student_steps": np.asarray(2),
+                    "head": np.asarray(0.125, np.float64)})
+    # Round trip sanity: step counter and meta survive.
+    restored, meta = _restore_inflight(inflight, state)
+    assert int(restored.step) == 5 and int(meta["done"]) == 5
+    assert float(meta["head"]) == 0.125
+
+    def batch():
+        c = rng.rand(8, S, S, 1).astype(np.float32)
+        s = rng.rand(8, S, S, 1).astype(np.float32)
+        return ((c, [0] * 8), (s, [0] * 8))
+
+    loader = [batch() for _ in range(2)]
+    _, info = dist.distill(variables, loader, stages=(4, 2),
+                           steps_per_stage=6, lr=1e-3,
+                           out_dir=tmp_path, seed=0, inflight_every=5)
+    assert "resumed in-flight at step 5/6" in capsys.readouterr().out
+    assert info["stages"] == [4, 2] and len(info["history"]) == 2
+    # Landed stages removed their in-flight saves.
+    assert not inflight.exists()
+    assert not (tmp_path / "inflight_2to1").exists()
+    # The full metrics row still reports the complete per-stage count.
+    metrics = (tmp_path / "distill_metrics.csv").read_text()
+    assert ",6," in metrics.splitlines()[1]  # steps column of stage 0
+
+    # Stale dir from another recipe: ignored (fresh stage start), the
+    # cascade still completes and cleans the stale dir up on landing.
+    _save_inflight(inflight, state,
+                   {"done": np.asarray(5), "teacher_steps": np.asarray(8),
+                    "student_steps": np.asarray(4),
+                    "head": np.asarray(0.0, np.float64)})
+    _, info2 = dist.distill(variables, loader, stages=(4, 2),
+                            steps_per_stage=2, lr=1e-3,
+                            out_dir=tmp_path, seed=0, inflight_every=5)
+    assert "resumed" not in capsys.readouterr().out
+    assert len(info2["history"]) == 2
+    assert not inflight.exists()
