@@ -32,6 +32,11 @@ def row(path: Path) -> dict:
         "shape_red_lm": lm.get("logmel_shape_reduction_pct"),
         "spec_conv_style": d.get("spectral_convergence_transfer_vs_style"),
         "mse_content": d.get("pixel_mse_transfer_vs_content"),
+        # Recon-referenced content drift (vs the AE reconstruction of the
+        # content input) — the raw-input column is floored by the AE's own
+        # ~0.063 reconstruction error and barely moves (docs/EVALUATION.md,
+        # "recon-referenced content axis"); older artifacts lack the field.
+        "mse_recon": d.get("pixel_mse_transfer_vs_content_recon"),
     }
 
 
@@ -44,13 +49,14 @@ def main() -> int:
     rows = [row(p) for p in files]
     hdr = ("| run | steps | guidance | style red % (seed3) | "
            "multiseed % | shape red % (lvl-matched) | spec-conv vs style | "
-           "pixel MSE vs content |")
+           "pixel MSE vs content | content drift (vs AE recon) |")
     print(hdr)
-    print("|" + "---|" * 8)
+    print("|" + "---|" * 9)
     for r in rows:
+        recon = "-" if r["mse_recon"] is None else r["mse_recon"]
         print(f"| {r['name']} | {r['steps']} | {r['guidance']:g} "
               f"| {r['style_red']} | {r['multiseed']} | {r['shape_red_lm']} "
-              f"| {r['spec_conv_style']} | {r['mse_content']} |")
+              f"| {r['spec_conv_style']} | {r['mse_content']} | {recon} |")
     return 0
 
 
