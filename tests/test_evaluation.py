@@ -160,6 +160,7 @@ def test_summarize_evals_tool(tmp_path, capsys):
         sys.argv = old
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0].startswith("| run |") and len(out) == 4
-    assert "| a | 50 | 1.5 | 91.0 | 92.7/91.5 | 78.7 | 0.75 | 0.064 |" in out
-    # sample_steps wins over steps; missing metrics render as None/-
-    assert "| b | 7 | 1 | 90.7 | - | None | None | None |" in out
+    assert ("| a | 50 | 1.5 | 91.0 | 92.7/91.5 | 78.7 | 0.75 | 0.064 | - |"
+            in out)
+    # sample_steps wins over steps; missing metrics render as "-"
+    assert "| b | 7 | 1 | 90.7 | - | - | - | - | - |" in out

@@ -53,10 +53,11 @@ def main() -> int:
     print(hdr)
     print("|" + "---|" * 9)
     for r in rows:
-        recon = "-" if r["mse_recon"] is None else r["mse_recon"]
+        cell = lambda v: "-" if v is None else v
         print(f"| {r['name']} | {r['steps']} | {r['guidance']:g} "
-              f"| {r['style_red']} | {r['multiseed']} | {r['shape_red_lm']} "
-              f"| {r['spec_conv_style']} | {r['mse_content']} | {recon} |")
+              f"| {cell(r['style_red'])} | {r['multiseed']} "
+              f"| {cell(r['shape_red_lm'])} | {cell(r['spec_conv_style'])} "
+              f"| {cell(r['mse_content'])} | {cell(r['mse_recon'])} |")
     return 0
 
 
