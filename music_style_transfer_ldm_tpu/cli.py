@@ -323,6 +323,20 @@ def cmd_transfer(args) -> int:
         from music_style_transfer_ldm_tpu.models.ldm import match_moments
         import jax.numpy as jnp
         decoded = match_moments(jnp.asarray(decoded), jnp.asarray(style))
+    else:
+        # The raw decoder output carries the style's envelope shape at
+        # ~4x compressed global level (models/ldm.py:match_moments doc) —
+        # quiet mels invert to near-silent WAVs.  Reference parity keeps
+        # raw output the default, but warn so a first-time user's
+        # "silent output" has a one-flag answer.
+        out_level = float(np.mean(np.asarray(decoded)))
+        ref_level = float(np.mean(np.asarray(style)))
+        if out_level < 0.5 * ref_level:
+            print(f"note: output global level ({out_level:.3f}) is well "
+                  f"below the style reference's ({ref_level:.3f}); the "
+                  "inverted audio may be very quiet. Re-run with "
+                  "--match-level to moment-match the output to the style.",
+                  file=sys.stderr)
     init_phase = None
     if args.phase_init == "content":
         if content_chunks is None:
@@ -637,8 +651,11 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--guidance", type=float, default=1.0,
                     help="classifier-free style-strength knob (0 = ignore "
                          "style, 1 = plain conditional, > 1 = amplified "
-                         "style; needs a checkpoint trained with "
-                         "style_dropout > 0; scan samplers only)")
+                         "style; measured useful range [0, 1.5] — above "
+                         "that every independent metric degrades, see "
+                         "docs/results/guidance/README.md; needs a "
+                         "checkpoint trained with style_dropout > 0; "
+                         "scan samplers only)")
     tr.add_argument("--overlap", type=float, default=0.0,
                     help="fraction in [0, 1): process overlapping 3 s "
                          "chunks and crossfade the seams (removes the "
