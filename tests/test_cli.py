@@ -196,3 +196,55 @@ def test_serve_adopts_distilled_grid(tmp_path, capsys):
     # Stock checkpoint: untouched, silent.
     got = _serve_engine_config(ecfg, ns(100, None), str(stock), "m")
     assert got is ecfg and capsys.readouterr().err == ""
+
+
+def test_transfer_dim_output_hint(tmp_path, monkeypatch, capsys):
+    """cli transfer warns toward --match-level when the raw decoder
+    output's global level sits far below the style reference's (the
+    level-compression artifact documented at models/ldm.py:match_moments
+    — a dim mel inverts to near-silent audio), and stays silent when
+    --match-level is passed."""
+    import jax
+    import jax.numpy as jnp
+    from music_style_transfer_ldm_tpu import cli as cli_mod
+    from music_style_transfer_ldm_tpu.config import default_config
+    from music_style_transfer_ldm_tpu.models import ldm as ldm_mod
+    from music_style_transfer_ldm_tpu.models.ldm import LDM
+    from music_style_transfer_ldm_tpu.training import checkpoint as ckpt_lib
+
+    monkeypatch.chdir(tmp_path)
+    cfg = default_config()
+    model = LDM(latent_dim=cfg.model.latent_dim,
+                num_timesteps=cfg.diffusion.num_timesteps,
+                dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 128, 128, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "diffusion": jax.random.PRNGKey(1)}, x, x,
+        jnp.zeros((1,), jnp.int32))
+    ckpt_lib.save_pytree(tmp_path / "ldm_ckpt",
+                         {"params": variables["params"],
+                          "batch_stats": variables.get("batch_stats", {})})
+
+    sr = 22050
+    t = np.arange(3 * sr) / sr
+    write_wav(tmp_path / "content.wav",
+              (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32), sr)
+    write_wav(tmp_path / "style.wav",
+              (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), sr)
+
+    def dim_transfer(model, variables, rng, content, style, **kw):
+        # 4x-level-compressed output relative to any real style image.
+        return np.full(content.shape, 0.02, np.float32), None, None
+
+    monkeypatch.setattr(ldm_mod, "content_style_transfer", dim_transfer)
+
+    base = ["transfer", "--checkpoint", str(tmp_path / "ldm_ckpt"),
+            "--content", str(tmp_path / "content.wav"),
+            "--style", str(tmp_path / "style.wav"), "--steps", "8"]
+    assert cli_mod.main(base + ["--output", str(tmp_path / "dim")]) == 0
+    assert "--match-level" in capsys.readouterr().err
+
+    assert cli_mod.main(base + ["--match-level",
+                                "--output", str(tmp_path / "ml")]) == 0
+    assert "--match-level" not in capsys.readouterr().err
