@@ -11,7 +11,9 @@ import os
 from pathlib import Path
 
 
-def enable_compilation_cache(cache_dir: str | None = None) -> None:
+def enable_compilation_cache(cache_dir: str | None = None) -> str:
+    """Returns the cache directory path (callers can probe its population
+    to tell a cold cache from a warm one, e.g. bench's budget reserves)."""
     import jax
     cache_dir = cache_dir or os.environ.get(
         "MSTLDM_COMPILE_CACHE",
@@ -22,3 +24,4 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except AttributeError:
         pass  # older jax without the knobs
+    return cache_dir

@@ -189,3 +189,48 @@ def test_carry_forward_missing_secondary_fields(tmp_path, monkeypatch,
     capsys.readouterr()
     e2.carry_forward_missing()
     assert "mfu_train_b128" not in e2.fields
+
+
+def test_save_last_good_merges_previous_record(tmp_path, monkeypatch,
+                                               capsys):
+    """A partial (budget-skipped / killed-early) emit must not erase
+    fields a previous same-chip record measured: _save_last_good merges
+    them in with explicit fields_from_last_good provenance (observed
+    regression: a timeout-600 release_check run overwrote the banked
+    record and dropped train_b128_*)."""
+    p = tmp_path / "last_good.json"
+    p.write_text(json.dumps({
+        "metric": "ddim_step_ms", "value": 0.0096, "unit": "ms",
+        "vs_baseline": 5208.33, "chip": "TPU v5 lite",
+        "train_b128_step_ms": 24.4, "mfu_train_b128": 0.4176,
+        "scan_step_ms": 0.0212, "measured_at": "2026-08-18T22:54:44Z"}))
+    monkeypatch.setenv("MSTLDM_BENCH_LAST_GOOD", str(p))
+    monkeypatch.setattr(B.jax, "default_backend", lambda: "tpu")
+
+    e = B.Emitter()
+    e.set(chip="TPU v5 lite", scan_step_ms=0.03)   # fresh partial run
+    e.set_headline(0.0101, "fused")
+    e.emit()
+    capsys.readouterr()
+
+    saved = json.loads(p.read_text())
+    assert saved["value"] == 0.0101                 # fresh headline kept
+    assert saved["scan_step_ms"] == 0.03            # fresh field kept
+    assert saved["train_b128_step_ms"] == 24.4      # inherited, not lost
+    assert saved["mfu_train_b128"] == 0.4176
+    assert set(saved["fields_from_last_good"]) == {
+        "train_b128_step_ms", "mfu_train_b128"}
+    assert saved["last_good_measured_at"] == "2026-08-18T22:54:44Z"
+
+    # Different chip: never mix — the partial record replaces wholesale.
+    p.write_text(json.dumps({
+        "metric": "ddim_step_ms", "value": 0.004, "chip": "TPU v6e",
+        "train_b128_step_ms": 11.0, "measured_at": "x"}))
+    e2 = B.Emitter()
+    e2.set(chip="TPU v5 lite")
+    e2.set_headline(0.0101, "fused")
+    e2.emit()
+    capsys.readouterr()
+    saved = json.loads(p.read_text())
+    assert "train_b128_step_ms" not in saved
+    assert "fields_from_last_good" not in saved
