@@ -96,7 +96,15 @@ EOF
 
 if [ "$SUITE_RC" -eq 0 ] && [ "$DRYRUN_RC" -eq 0 ] && [ "$BENCH_RC" -eq 0 ] \
    && [ "$DOCS_RC" -eq 0 ]; then
-  echo "release check PASSED (see $REPORT for the bench stale flag)"
+  if grep -q '"pass": true' "$REPORT"; then
+    echo "release check PASSED"
+  else
+    # All contracts held (rc=0, parseable line) but the bench line is the
+    # banked stale record — the relay was down/hung during the run.  The
+    # capture contract explicitly allows this; re-run when the relay is
+    # healthy to land a fresh-measurement report (pass=true).
+    echo "release check PASSED with STALE BENCH (relay down during the run)"
+  fi
 else
   echo "release check FAILED (suite=$SUITE_RC dryrun=$DRYRUN_RC bench=$BENCH_RC docs=$DOCS_RC)"
   exit 1
