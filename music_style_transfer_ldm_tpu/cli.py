@@ -93,6 +93,8 @@ def cmd_train(args) -> int:
                                         style_dropout=args.style_dropout)
     if getattr(args, "lr", None):
         cfg.train = dataclasses.replace(cfg.train, learning_rate=args.lr)
+    if getattr(args, "ema_decay", 0.0):
+        cfg.train = dataclasses.replace(cfg.train, ema_decay=args.ema_decay)
     root = args.data_root or cfg.data.processed_dir
 
     if args.model == "autoencoder":
@@ -165,9 +167,9 @@ def cmd_distill(args) -> int:
     return 0
 
 
-def _restore_ldm(cfg, ckpt_path: str):
+def _restore_ldm(cfg, ckpt_path: str, use_ema: bool = True):
     from music_style_transfer_ldm_tpu.models.ldm import load_ldm
-    return load_ldm(cfg, full_checkpoint=ckpt_path)
+    return load_ldm(cfg, full_checkpoint=ckpt_path, use_ema=use_ema)
 
 
 def _warn_distill_mismatch(args) -> None:
@@ -208,7 +210,8 @@ def cmd_generate(args) -> int:
 
     cfg = default_config()
     ap = AudioProcessor()
-    model, variables = _restore_ldm(cfg, args.checkpoint)
+    model, variables = _restore_ldm(
+        cfg, args.checkpoint, use_ema=not getattr(args, "raw_weights", False))
     style = _load_image_or_audio(args.style, ap)
     lat = cfg.model.image_size // 8
     z_shape = (1, lat, lat, cfg.model.latent_dim)
@@ -262,7 +265,8 @@ def cmd_transfer(args) -> int:
 
     cfg = default_config()
     ap = AudioProcessor()
-    model, variables = _restore_ldm(cfg, args.checkpoint)
+    model, variables = _restore_ldm(
+        cfg, args.checkpoint, use_ema=not getattr(args, "raw_weights", False))
     _warn_distill_mismatch(args)
     if not 0.0 <= args.overlap < 1.0:
         raise SystemExit(f"--overlap must be in [0, 1); got {args.overlap}")
@@ -479,7 +483,8 @@ def cmd_serve(args) -> int:
         name, _, path = spec.rpartition("=")
         name = name or ("default" if not engines else
                         f"model{len(engines)}")
-        model, variables = _restore_ldm(cfg, path)
+        model, variables = _restore_ldm(
+            cfg, path, use_ema=not getattr(args, "raw_weights", False))
         m_ecfg = _serve_engine_config(ecfg, args, path, name)
         engines[name] = InferenceEngine(model, variables, m_ecfg, mesh=mesh)
     print(f"warming {len(args.buckets)} batch buckets x "
@@ -572,6 +577,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="LDM only: per-sample probability of zeroing the "
                         "style embedding (classifier-free-guidance "
                         "training; enables transfer --guidance)")
+    t.add_argument("--ema-decay", type=float, default=0.0,
+                   help="LDM only: track an exponential moving average of "
+                        "the weights (0.999 typical; 0 = off). Checkpoints "
+                        "then carry ema_params, which every inference "
+                        "surface prefers (see --raw-weights)")
     t.add_argument("--out-dir", default="runs/train")
     t.add_argument("--resume-from",
                    help="full train-state checkpoint to resume from")
@@ -626,6 +636,9 @@ def build_parser() -> argparse.ArgumentParser:
                           "unconditional, 1 = plain conditional, > 1 = "
                           "amplified style; needs a checkpoint trained "
                           "with style_dropout > 0)")
+    gen.add_argument("--raw-weights", action="store_true",
+                     help="sample from the raw (non-EMA) weights even when "
+                          "the checkpoint carries ema_params")
     gen.add_argument("--output", default="outputs/generated")
     gen.set_defaults(fn=cmd_generate)
 
@@ -672,6 +685,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "to its style image (corrects the diffusion "
                          "decoder's compressed dynamic range; see "
                          "models.ldm.match_moments)")
+    tr.add_argument("--raw-weights", action="store_true",
+                    help="sample from the raw (non-EMA) weights even when "
+                         "the checkpoint carries ema_params")
     tr.add_argument("--output", default="outputs/transferred")
     tr.set_defaults(fn=cmd_transfer)
 
@@ -708,6 +724,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "devices (data parallel; buckets round up to "
                          "multiples of it)")
     sv.add_argument("--max-wait-ms", type=float, default=5.0)
+    sv.add_argument("--raw-weights", action="store_true",
+                    help="serve the raw (non-EMA) weights even when a "
+                         "checkpoint carries ema_params")
     sv.add_argument("--auth-token", default=None,
                     help="require 'Authorization: Bearer <token>'")
     sv.add_argument("--timeout", type=float, default=120.0,

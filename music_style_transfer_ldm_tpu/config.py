@@ -84,6 +84,11 @@ class TrainConfig:
     # the UNet also learns an unconditional prediction and sampling can
     # take a `guidance` style-strength knob (models/ldm.py:_denoise_fn).
     style_dropout: float = 0.0
+    # EMA of the trainable weights (no reference counterpart; standard
+    # DDPM/LDM practice).  0 disables; 0.999 is the usual setting.  When
+    # on, checkpoints carry ema_params and every inference surface
+    # (load_ldm) prefers them over the raw weights.
+    ema_decay: float = 0.0
     train_split: float = 0.8          # ref: dataset.py:309
     seed: int = 0
     ckpt_every_epochs: int = 100      # ref: train.py:270

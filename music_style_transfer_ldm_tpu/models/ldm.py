@@ -361,11 +361,16 @@ def checkpoint_distill_meta(full_checkpoint) -> Optional[dict]:
 
 def load_ldm(config, full_checkpoint: Optional[str] = None,
              autoencoder_checkpoint: Optional[str] = None,
-             dtype=jnp.bfloat16):
+             dtype=jnp.bfloat16, use_ema: bool = True):
     """Build an LDM + variables from checkpoints, with the reference's
     fallback semantics made explicit (ref: model.py:262-352: try the full
     model, fall back to encoder/decoder-only weights; unlike the reference,
     nothing is silently re-initialized afterwards).
+
+    A checkpoint trained with TrainConfig.ema_decay > 0 carries EMA
+    weights; every inference surface prefers them (use_ema=True, the
+    DDPM/LDM sampling convention) — pass use_ema=False to sample from
+    the raw weights (e.g. to continue fine-tuning behavior exactly).
 
     Returns (model, variables).  With no checkpoint, variables are fresh.
     """
@@ -389,7 +394,12 @@ def load_ldm(config, full_checkpoint: Optional[str] = None,
     if full_checkpoint is not None:
         try:
             payload = ckpt_lib.restore_pytree(full_checkpoint)
-            return model, {"params": payload["params"],
+            loaded = payload["params"]
+            if use_ema and payload.get("ema_params") is not None:
+                loaded = payload["ema_params"]
+                print("load_ldm: using EMA weights "
+                      "(pass use_ema=False for raw)", flush=True)
+            return model, {"params": loaded,
                            "batch_stats": payload["batch_stats"]}
         except Exception as e:  # noqa: BLE001 — reference fallback behavior
             if autoencoder_checkpoint is None:

@@ -83,6 +83,8 @@ def save_train_state(path: str | Path, state: TrainState,
                "opt_state": state.opt_state,
                "step": np.asarray(state.step),
                "format_version": np.asarray(FORMAT_VERSION)}
+    if state.ema_params is not None:
+        payload["ema_params"] = state.ema_params
     if extra:
         payload["extra"] = extra
     save_pytree(path, payload)
@@ -90,12 +92,24 @@ def save_train_state(path: str | Path, state: TrainState,
 
 def restore_train_state(path: str | Path,
                         template: TrainState) -> TrainState:
-    payload = restore_pytree(path, {
-        "params": template.params, "batch_stats": template.batch_stats,
-        "opt_state": template.opt_state, "step": np.asarray(template.step),
-        "format_version": np.asarray(FORMAT_VERSION)})
+    item = {"params": template.params, "batch_stats": template.batch_stats,
+            "opt_state": template.opt_state, "step": np.asarray(template.step),
+            "format_version": np.asarray(FORMAT_VERSION)}
+    ema = template.ema_params
+    if ema is not None:
+        try:
+            payload = restore_pytree(path, {**item, "ema_params": ema})
+        except Exception:  # noqa: BLE001 — pre-EMA checkpoint: resume the
+            # average from the restored raw weights (warm-up schedule in
+            # state.ema_update re-converges it quickly).
+            payload = restore_pytree(path, item)
+            payload["ema_params"] = jax.tree_util.tree_map(
+                np.asarray, payload["params"])
+    else:
+        payload = restore_pytree(path, item)
     _check_version(payload, path)
     return TrainState(params=payload["params"],
                       batch_stats=payload["batch_stats"],
                       opt_state=payload["opt_state"],
-                      step=jax.numpy.asarray(payload["step"]))
+                      step=jax.numpy.asarray(payload["step"]),
+                      ema_params=payload.get("ema_params"))

@@ -10,12 +10,33 @@ import jax
 
 @flax.struct.dataclass
 class TrainState:
-    """Everything the jitted step mutates, as one donatable pytree."""
+    """Everything the jitted step mutates, as one donatable pytree.
+
+    ema_params is None unless EMA tracking is enabled
+    (TrainConfig.ema_decay > 0); a None field is an empty pytree node, so
+    all existing checkpoints/jit signatures are unchanged when it is off.
+    """
 
     params: Any
     batch_stats: Any
     opt_state: Any
     step: jax.Array
+    ema_params: Any = None
+
+
+def ema_update(ema_params, params, decay, step):
+    """One EMA step: ema <- d*ema + (1-d)*params, with the standard
+    warm-up schedule d = min(decay, (1+step)/(10+step)) so the average
+    tracks quickly from init instead of dragging the seed weights
+    (the DDPM/LDM convention; no reference counterpart — the reference
+    trains and samples from the raw weights only, ref: models/train.py).
+    """
+    import jax.numpy as jnp
+    d = jnp.minimum(jnp.float32(decay),
+                    (1.0 + step) / (10.0 + step)).astype(jnp.float32)
+    return jax.tree_util.tree_map(
+        lambda e, p: (d * e + (1.0 - d) * p).astype(p.dtype),
+        ema_params, params)
 
 
 def count_params(tree) -> int:

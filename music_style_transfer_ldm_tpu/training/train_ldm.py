@@ -37,7 +37,7 @@ from music_style_transfer_ldm_tpu.training.optim import (
     make_optimizer, plateau_init, plateau_update, set_learning_rate,
 )
 from music_style_transfer_ldm_tpu.training.state import (
-    TrainState, as_unit_images, prefetch_to_device,
+    TrainState, as_unit_images, ema_update, prefetch_to_device,
 )
 
 
@@ -79,6 +79,7 @@ class LDMTrainer:
         self.perceptual_weight = ct.perceptual_weight
         self.kl_weight = ct.kl_weight
 
+        self.ema_decay = float(getattr(ct, "ema_decay", 0.0))
         self.tx = make_optimizer("adam", learning_rate=ct.learning_rate,
                                  freeze_mask=_freeze_encoder_mask)
         self.plateau = plateau_init(ct.learning_rate, factor=0.5,
@@ -125,8 +126,13 @@ class LDMTrainer:
         params = shard_params(params, self.mesh)
         batch_stats = shard_params(batch_stats, self.mesh)
         opt_state = self.tx.init(params)
+        # EMA starts equal to the init weights; the warm-up schedule in
+        # ema_update keeps early steps from being anchored to them.
+        ema = (jax.tree_util.tree_map(jnp.array, params)
+               if self.ema_decay > 0.0 else None)
         return TrainState(params=params, batch_stats=batch_stats,
-                          opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+                          opt_state=opt_state, step=jnp.zeros((), jnp.int32),
+                          ema_params=ema)
 
     # ---------------- jitted step -------------------------------------------
 
@@ -191,8 +197,12 @@ class LDMTrainer:
                                             state.params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,
                                         updates)
+        ema = state.ema_params
+        if self.ema_decay > 0.0 and ema is not None:
+            ema = ema_update(ema, params, self.ema_decay, state.step)
         new_state = TrainState(params=params, batch_stats=new_stats,
-                               opt_state=opt_state, step=state.step + 1)
+                               opt_state=opt_state, step=state.step + 1,
+                               ema_params=ema)
         return new_state, metrics
 
     def _feature_params(self):
