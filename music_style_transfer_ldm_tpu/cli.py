@@ -372,7 +372,8 @@ def cmd_diagnose(args) -> int:
     from music_style_transfer_ldm_tpu.models.ldm import LDM
 
     cfg = default_config()
-    model, variables = _restore_ldm(cfg, args.checkpoint)
+    model, variables = _restore_ldm(
+        cfg, args.checkpoint, use_ema=not getattr(args, "raw_weights", False))
     table = parameter_table(variables["params"])
     print("parameter counts:")
     for k, v in table.items():
@@ -620,6 +621,9 @@ def build_parser() -> argparse.ArgumentParser:
     dg = sub.add_parser("diagnose", help="parameter table + dead-style-"
                                          "encoder probe on a checkpoint")
     dg.add_argument("--checkpoint", required=True)
+    dg.add_argument("--raw-weights", action="store_true",
+                    help="diagnose the raw trained weights instead of the "
+                         "EMA average")
     dg.set_defaults(fn=cmd_diagnose)
 
     gen = sub.add_parser("generate", help="style-conditioned generation")

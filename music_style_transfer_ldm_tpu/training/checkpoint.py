@@ -42,6 +42,28 @@ def _to_host(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
+def _checkpoint_has_key(path: str | Path, key: str) -> Optional[bool]:
+    """Whether the saved pytree's top level contains `key`.
+
+    Asks orbax for the checkpoint's structure metadata (cheap: no array
+    reads). Returns None when the metadata shape is unrecognized (orbax
+    version drift), so the caller can fall back rather than guess.
+    """
+    path = Path(path).absolute()
+    try:
+        meta = ocp.PyTreeCheckpointer().metadata(path)
+        # Current orbax: StepMetadata -> item_metadata (TreeMetadata) ->
+        # .tree dict; older versions returned the dict directly.
+        tree = getattr(getattr(meta, "item_metadata", None), "tree", None)
+        if tree is None:
+            tree = meta
+        if hasattr(tree, "keys"):
+            return key in tree.keys()
+    except Exception:  # noqa: BLE001 — metadata shape varies across orbax
+        pass
+    return None
+
+
 def save_pytree(path: str | Path, tree: Any) -> None:
     path = Path(path).absolute()
     ckptr = ocp.PyTreeCheckpointer()
@@ -97,14 +119,33 @@ def restore_train_state(path: str | Path,
             "format_version": np.asarray(FORMAT_VERSION)}
     ema = template.ema_params
     if ema is not None:
-        try:
+        has_ema = _checkpoint_has_key(path, "ema_params")
+        if has_ema:
+            # The checkpoint saved an EMA; any restore failure here is a
+            # real error (I/O, structure drift) and must propagate rather
+            # than silently dropping the saved average.
             payload = restore_pytree(path, {**item, "ema_params": ema})
-        except Exception:  # noqa: BLE001 — pre-EMA checkpoint: resume the
-            # average from the restored raw weights (warm-up schedule in
-            # state.ema_update re-converges it quickly).
+        elif has_ema is False:
+            # Pre-EMA checkpoint: resume the average from the restored raw
+            # weights (warm-up schedule in state.ema_update re-converges it
+            # quickly).
+            print(f"NOTE: checkpoint {path} has no ema_params; seeding the "
+                  "EMA from the restored raw weights.", flush=True)
             payload = restore_pytree(path, item)
             payload["ema_params"] = jax.tree_util.tree_map(
                 np.asarray, payload["params"])
+        else:
+            # Metadata inconclusive (orbax version drift): try the
+            # EMA-inclusive restore, fall back loudly.
+            try:
+                payload = restore_pytree(path, {**item, "ema_params": ema})
+            except Exception as e:  # noqa: BLE001
+                print(f"WARNING: EMA-inclusive restore of {path} failed "
+                      f"({e!r}); treating it as a pre-EMA checkpoint and "
+                      "seeding the EMA from the raw weights.", flush=True)
+                payload = restore_pytree(path, item)
+                payload["ema_params"] = jax.tree_util.tree_map(
+                    np.asarray, payload["params"])
     else:
         payload = restore_pytree(path, item)
     _check_version(payload, path)

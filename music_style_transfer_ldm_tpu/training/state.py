@@ -34,8 +34,12 @@ def ema_update(ema_params, params, decay, step):
     import jax.numpy as jnp
     d = jnp.minimum(jnp.float32(decay),
                     (1.0 + step) / (10.0 + step)).astype(jnp.float32)
+    # Accumulate in float32 regardless of param dtype: a 0.999-decay step
+    # rounds away entirely in bf16 (bf16(0.999*1 + 0.001*0) == 1.0) and the
+    # EMA would silently freeze if params were ever stored in bf16.
     return jax.tree_util.tree_map(
-        lambda e, p: (d * e + (1.0 - d) * p).astype(p.dtype),
+        lambda e, p: (d * e.astype(jnp.float32)
+                      + (1.0 - d) * p.astype(jnp.float32)),
         ema_params, params)
 
 
