@@ -42,6 +42,14 @@ step time, single-call client latency, full 10 s clip end-to-end transfer
 (mel -> VAE encode -> 50-step DDIM -> decode -> NNLS + Griffin-Lim audio,
 target < 5 s), DPM++ half-grid latency, batched fused-kernel throughput,
 batch-64 scan throughput + MFU, batch-128 train step + MFU.
+
+Round-5 scheduling (VERDICT r04 #1): secondary sections no longer run in
+a fixed order.  The banked record carries per-field ``field_measured_at``
+stamps; each run sorts its sections stalest-field-first
+(``order_sections_stalest_first``), so under a sick relay consecutive
+budget-limited runs refresh DIFFERENT sections and converge to an
+all-fresh record (``fields_from_last_good: []``) instead of starving the
+same late fields every run (r04: 16 fields carried).
 """
 
 from __future__ import annotations
@@ -163,6 +171,10 @@ class Emitter:
 
     def __init__(self) -> None:
         self.fields: dict = {}
+        # Per-field freshness stamps for metric fields measured THIS run;
+        # persisted into the banked record so the next run can schedule
+        # its sections stalest-field-first (VERDICT r04 #1).
+        self.field_measured_at: dict = {}
         self._printed_any = False
         self._measured_any = False
         try:
@@ -172,11 +184,21 @@ class Emitter:
         except Exception:  # noqa: BLE001
             self.fallback = None
 
+    @staticmethod
+    def _now() -> str:
+        return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
     def ready(self) -> bool:
         return "value" in self.fields
 
     def set(self, **kv) -> None:
-        self.fields.update({k: v for k, v in kv.items() if v is not None})
+        now = self._now()
+        for k, v in kv.items():
+            if v is None:
+                continue
+            self.fields[k] = v
+            if k in self._SECONDARY_KEYS:
+                self.field_measured_at[k] = now
 
     def set_headline(self, step_ms: float, source: str) -> None:
         self.fields["metric"] = "ddim_step_ms"
@@ -184,6 +206,7 @@ class Emitter:
         self.fields["unit"] = "ms"
         self.fields["vs_baseline"] = round(_BASELINE_MS / step_ms, 2)
         self.fields["sampler"] = source
+        self.field_measured_at["value"] = self._now()
 
     def bank_fallback(self, reason: str) -> bool:
         """Print the last-good line with a stale marker (or the current
@@ -230,16 +253,33 @@ class Emitter:
                 return
             rec = dict(ordered)
             prev = self.fallback
+            inherited: list = []
             if prev and prev.get("chip") == rec.get("chip"):
                 inherited = [k for k in self._SECONDARY_KEYS
                              if k not in rec and k in prev]
                 if inherited:
                     for k in inherited:
                         rec[k] = prev[k]
-                    rec["fields_from_last_good"] = inherited
                     rec["last_good_measured_at"] = prev.get("measured_at")
-            rec["measured_at"] = time.strftime(
-                "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+            stale = set(rec.get("fields_from_last_good", [])) | set(inherited)
+            rec["fields_from_last_good"] = sorted(stale)
+            # Per-field freshness: fields measured this run get their own
+            # stamp; anything merged/carried keeps the previous record's
+            # stamp so staleness accumulates honestly across partial runs.
+            prev_fma = (prev or {}).get("field_measured_at") or {}
+            prev_ts = (prev or {}).get("measured_at")
+            fma = {}
+            for k in self._SECONDARY_KEYS + ("value",):
+                if k not in rec and k != "value":
+                    continue
+                if k in self.field_measured_at:
+                    fma[k] = self.field_measured_at[k]
+                else:
+                    ts = prev_fma.get(k, prev_ts)
+                    if ts:
+                        fma[k] = ts
+            rec["field_measured_at"] = fma
+            rec["measured_at"] = self._now()
             rec["provenance"] = ("auto-saved by benchmarks.Emitter on a "
                                  "successful real-accelerator run")
             p = _last_good_path()
@@ -269,21 +309,23 @@ class Emitter:
         round just because the wall budget skipped late sections).  Only
         meaningful when a real headline exists and the fallback is a
         same-chip record; never silently mixes stale numbers in."""
-        if not self.ready() or not self._measured_any or not self.fallback:
+        if not self.ready() or not self._measured_any:
             return
-        if self.fallback.get("chip") != self.fields.get("chip"):
-            return
-        carried = [k for k in self._SECONDARY_KEYS
-                   if k not in self.fields and k in self.fallback]
-        if not carried:
-            return
-        for k in carried:
-            self.fields[k] = self.fallback[k]
+        carried: list = []
+        if (self.fallback
+                and self.fallback.get("chip") == self.fields.get("chip")):
+            carried = [k for k in self._SECONDARY_KEYS
+                       if k not in self.fields and k in self.fallback]
+            for k in carried:
+                self.fields[k] = self.fallback[k]
+            if carried:
+                self.fields["last_good_measured_at"] = self.fallback.get(
+                    "measured_at")
+                log(f"carried forward {len(carried)} unmeasured secondary "
+                    f"fields from the last-good record: {carried}")
+        # Always present in the final line — an explicit [] is the signal
+        # that EVERY field was measured fresh this run (VERDICT r04 #1).
         self.fields["fields_from_last_good"] = carried
-        self.fields["last_good_measured_at"] = self.fallback.get(
-            "measured_at")
-        log(f"carried forward {len(carried)} unmeasured secondary fields "
-            f"from the last-good record: {carried}")
 
     def install_kill_handler(self) -> None:
         def handler(signum, frame):  # noqa: ARG001
@@ -319,6 +361,31 @@ class Emitter:
         t.daemon = True
         t.start()
         return t
+
+
+def order_sections_stalest_first(sections: list, fallback: dict | None,
+                                 chip: str | None) -> list:
+    """Order bench sections by the age of their stalest field.
+
+    A section's key is the MIN over its fields of the banked record's
+    per-field ``field_measured_at`` stamp; fields the record never measured
+    sort as the stalest of all.  With a different-chip (or absent) banked
+    record the declared order is returned unchanged — carry-over never
+    crosses chips, so staleness is meaningless there.  Stable sort: ties
+    keep declared order.  This is what lets consecutive budget-limited
+    runs converge to an all-fresh record (VERDICT r04 #1)."""
+    fb = fallback or {}
+    if not fb or fb.get("chip") != chip:
+        return sections
+    fma = fb.get("field_measured_at") or {}
+    rec_ts = fb.get("measured_at") or ""
+
+    def staleness(fields: tuple) -> str:
+        # ISO-8601 UTC stamps compare lexicographically; "" = never.
+        return min(fma.get(f) or (rec_ts if f in fb else "")
+                   for f in fields)
+
+    return sorted(sections, key=lambda s: staleness(s[1]))
 
 
 def _devices_with_retry(retry_window_s: float) -> list:
@@ -523,10 +590,8 @@ def main() -> None:
         log(f"fused chain failed: {e!r}")
 
     # ---- scan sampler step time (also the fallback headline) -------------
-    scan_step_ms = None
-    try:
-        if over_budget("scan chain") and step_ms is not None:
-            raise TimeoutError("budget")
+    def sec_scan():
+        nonlocal step_ms
 
         @jax.jit
         def chain_scan(z):
@@ -547,14 +612,9 @@ def main() -> None:
         if step_ms is None:  # fused path failed: scan becomes the headline
             step_ms = scan_step_ms
             emitter.set_headline(step_ms, "lax.scan sampler (fallback)")
-        emitter.emit()
-    except Exception as e:  # noqa: BLE001
-        log(f"scan chain failed: {e!r}")
 
     # ---- fused kernel on the dpm++ half grid (fastest full transfer) -----
-    try:
-        if over_budget("fused dpm++ chain"):
-            raise TimeoutError("budget")
+    def sec_fused_dpm():
         dpm_grid = transfer_time_grid(steps, steps // 2)
 
         @jax.jit
@@ -575,14 +635,9 @@ def main() -> None:
             f"{fused_dpm_traj_ms:.3f} ms per FULL transfer (device)")
         emitter.set(
             fused_dpm_halfgrid_transfer_ms=round(fused_dpm_traj_ms, 3))
-        emitter.emit()
-    except Exception as e:  # noqa: BLE001
-        log(f"fused dpm++ chain failed: {e!r}")
 
     # ---- batched fused trajectory kernel (round-3: serving buckets) ------
-    try:
-        if over_budget("batched fused chain"):
-            raise TimeoutError("budget")
+    def sec_fused_b4():
         bsz = 4  # the largest bucket where the kernel beats the scan
         zb = jax.random.normal(jax.random.PRNGKey(5), (bsz, 16, 16, 32),
                                jnp.float32)
@@ -605,9 +660,6 @@ def main() -> None:
             f"({bsz * n_steps * 1000.0 / per_traj_ms:.0f} steps/s, "
             f"{bsz * 1000.0 / per_traj_ms:.0f} clips/s)")
         emitter.set(fused_b4_trajectory_ms=round(per_traj_ms, 3))
-        emitter.emit()
-    except Exception as e:  # noqa: BLE001
-        log(f"batched fused chain failed: {e!r}")
 
     # ---- fused kernel on a distilled 6-step grid (fastest single clip) ----
     # The progressive-distillation student (training/distill.py) samples on
@@ -616,9 +668,7 @@ def main() -> None:
     # single-clip latency the framework offers (distillation x fusion
     # compose; CLI: `transfer --sampler fused --sample-steps 7`).  Timing
     # only — kernel cost is weight-independent, so random params are fine.
-    try:
-        if over_budget("fused distilled-grid chain"):
-            raise TimeoutError("budget")
+    def sec_fused_d6():
         d6_grid = transfer_time_grid(steps, 7)
         # ~6/49 of the full trajectory's work: chain 8x more so device
         # compute still dominates the ~2 ms relay RTT jitter.
@@ -642,9 +692,6 @@ def main() -> None:
             f"{fused_d6_ms:.4f} ms per FULL transfer (device, "
             f"{1000.0 / fused_d6_ms:.0f} clips/s at batch 1)")
         emitter.set(fused_distill6_transfer_ms=round(fused_d6_ms, 4))
-        emitter.emit()
-    except Exception as e:  # noqa: BLE001
-        log(f"fused distilled-grid chain failed: {e!r}")
 
     # ---- single-call client latency (relay-bound; context number) --------
     def transfer(content, style):
@@ -654,23 +701,15 @@ def main() -> None:
         return decoded
 
     transfer_jit = jax.jit(transfer)
-    total_s = None
-    try:
-        if over_budget("client-latency section"):
-            raise TimeoutError("budget")
+
+    def sec_client_latency():
         total_s, _ = timed(transfer_jit, content, style)
         log(f"50-step transfer, single-call client latency (includes one "
             f"relay round trip): {total_s*1000:.1f} ms")
         emitter.set(client_latency_50step_ms=round(total_s * 1000, 2))
-        emitter.emit()
-    except Exception as e:  # noqa: BLE001
-        log(f"client-latency section failed: {e!r}")
 
     # ---- DPM-Solver++(2M) scan on a half-coarse grid ---------------------
-    try:
-        if over_budget("dpm++ section"):
-            raise TimeoutError("budget")
-
+    def sec_dpm_scan():
         def transfer_dpm(content, style):
             decoded, _, _ = content_style_transfer(
                 model, variables, jax.random.PRNGKey(2), content, style,
@@ -682,14 +721,9 @@ def main() -> None:
         log(f"dpm++ {steps // 2}-step transfer (equal-accuracy coarse "
             f"grid): {dpm_s*1000:.1f} ms client latency")
         emitter.set(transfer_dpm_halfgrid_ms=round(dpm_s * 1000, 2))
-        emitter.emit()
-    except Exception as e:  # noqa: BLE001
-        log(f"dpm++ section failed: {e!r}")
 
     # ---- 10 s clip end-to-end (4 x 3 s chunks as one batch) --------------
-    try:
-        if over_budget("end-to-end section"):
-            raise TimeoutError("budget")
+    def sec_e2e():
         from music_style_transfer_ldm_tpu.audio import melspectrogram
         from music_style_transfer_ldm_tpu.audio.mel import (
             db_to_power, power_to_db,
@@ -725,18 +759,13 @@ def main() -> None:
         log(f"10s clip end-to-end (mel->encode->50-step DDIM->decode->GL): "
             f"{e2e_s:.3f} s (target < 5 s); audio {audio.shape}")
         emitter.set(e2e_10s_clip_s=round(e2e_s, 3))
-        emitter.emit()
-    except Exception as e:  # noqa: BLE001
-        log(f"end-to-end section failed: {e!r}")
 
     # ---- batched serving throughput + MFU --------------------------------
     content64 = jnp.tile(content, (64, 1, 1, 1))
     style64 = jnp.tile(style, (64, 1, 1, 1))
     n_b64 = 1 if on_cpu else 16
-    try:
-        if over_budget("batch-64 section", reserve(15, 45)):
-            raise TimeoutError("budget")
 
+    def sec_b64():
         @jax.jit
         def chain_b64(c):
             # Each iteration's decoded [0,1] output is the next content,
@@ -763,15 +792,9 @@ def main() -> None:
                                 if transfer_flops else None),
             mfu_transfer_b64=(round(transfer_mfu, 4)
                               if transfer_mfu is not None else None))
-        emitter.emit()
-    except Exception as e:  # noqa: BLE001
-        log(f"batch-64 section failed: {e!r}")
 
     # ---- batch-64 throughput on the equal-accuracy dpm++ half grid ------
-    try:
-        if over_budget("batch-64 dpm++ section", reserve(15, 45)):
-            raise TimeoutError("budget")
-
+    def sec_b64_dpm():
         def transfer_dpm64(c, s):
             decoded, _, _ = content_style_transfer(
                 model, variables, jax.random.PRNGKey(2), c, s,
@@ -791,9 +814,6 @@ def main() -> None:
             f"accuracy, 91.1% vs 91.2% eval): {64 / thr_dpm:.0f} clips/s "
             f"({thr_dpm * 1000:.1f} ms/batch)")
         emitter.set(transfer_b64_dpm25_clips_per_s=round(64 / thr_dpm))
-        emitter.emit()
-    except Exception as e:  # noqa: BLE001
-        log(f"batch-64 dpm++ section failed: {e!r}")
 
     # ---- batch-64 throughput on the 6-step distilled grid ----------------
     # The grid a progressively-distilled student walks (training/distill.py,
@@ -801,10 +821,7 @@ def main() -> None:
     # evals per clip.  Device time only depends on the grid, not the
     # weights; the matching quality numbers live in
     # docs/results/distill/transfer_eval_distill*.json.
-    try:
-        if over_budget("batch-64 distilled section", reserve(15, 45)):
-            raise TimeoutError("budget")
-
+    def sec_b64_d6():
         def transfer_d6(c, s):
             decoded, _, _ = content_style_transfer(
                 model, variables, jax.random.PRNGKey(2), c, s,
@@ -822,19 +839,13 @@ def main() -> None:
         log(f"batch-64 distilled-grid 6-step transfer: {64 / thr_d6:.0f} "
             f"clips/s ({thr_d6 * 1000:.2f} ms/batch)")
         emitter.set(transfer_b64_distill6_clips_per_s=round(64 / thr_d6))
-        emitter.emit()
-    except Exception as e:  # noqa: BLE001
-        log(f"batch-64 distilled section failed: {e!r}")
 
     # ---- batch-64 throughput on the 1-step distilled grid -----------------
     # The factor-3 final distillation stage (training/distill.py,
     # stages 48->24->12->6->3 -> ONE step) collapses a transfer to a single
     # denoiser eval: encode + 1 UNet call + decode per clip.  Quality:
     # docs/results/distill/ (transfer_eval_distill1 / distill_fidelity_1).
-    try:
-        if over_budget("batch-64 distill-1 section", reserve(15, 45)):
-            raise TimeoutError("budget")
-
+    def sec_b64_d1():
         def transfer_d1(c, s):
             decoded, _, _ = content_style_transfer(
                 model, variables, jax.random.PRNGKey(2), c, s,
@@ -852,14 +863,9 @@ def main() -> None:
         log(f"batch-64 distilled-grid 1-step transfer: {64 / thr_d1:.0f} "
             f"clips/s ({thr_d1 * 1000:.2f} ms/batch)")
         emitter.set(transfer_b64_distill1_clips_per_s=round(64 / thr_d1))
-        emitter.emit()
-    except Exception as e:  # noqa: BLE001
-        log(f"batch-64 distill-1 section failed: {e!r}")
 
     # ---- batch-128 LDM train step (reference recipe) + MFU ---------------
-    try:
-        if over_budget("train-step section", reserve(100, 300)):
-            raise TimeoutError("budget")
+    def sec_train():
         from music_style_transfer_ldm_tpu.training import LDMTrainer
         # Full recipe: lpips compression + vggish style.  The flagship run
         # uses the TRAINABLE style term (style_loss_stop_gradient=False —
@@ -911,9 +917,61 @@ def main() -> None:
                               if train_flops else None),
             mfu_train_b128=(round(train_mfu, 4)
                             if train_mfu is not None else None))
-        emitter.emit()
-    except Exception as e:  # noqa: BLE001
-        log(f"train-step section failed: {e!r}")
+
+    # ---- section scheduler: stalest fields first (VERDICT r04 #1) --------
+    # Each section declares the metric fields it refreshes plus a
+    # (warm, cold) compile-cost reserve; ordering follows the banked
+    # record's per-field measured_at stamps (oldest first, never-measured
+    # first of all), so consecutive budget-limited runs measure DIFFERENT
+    # sections and converge to an all-fresh record instead of starving the
+    # same late fields every time (the r04 failure mode: 16 stale fields).
+    sections = [
+        ("scan chain", ("scan_step_ms",), (0, 60), sec_scan),
+        ("fused dpm++ chain", ("fused_dpm_halfgrid_transfer_ms",),
+         (0, 60), sec_fused_dpm),
+        ("batched fused chain", ("fused_b4_trajectory_ms",),
+         (0, 60), sec_fused_b4),
+        ("fused distilled-grid chain", ("fused_distill6_transfer_ms",),
+         (0, 60), sec_fused_d6),
+        ("client-latency section", ("client_latency_50step_ms",),
+         (0, 30), sec_client_latency),
+        ("dpm++ section", ("transfer_dpm_halfgrid_ms",),
+         (0, 30), sec_dpm_scan),
+        ("end-to-end section", ("e2e_10s_clip_s",), (10, 60), sec_e2e),
+        ("batch-64 section",
+         ("transfer_b64_ms", "transfer_b64_gflop", "mfu_transfer_b64"),
+         (15, 45), sec_b64),
+        ("batch-64 dpm++ section", ("transfer_b64_dpm25_clips_per_s",),
+         (15, 45), sec_b64_dpm),
+        ("batch-64 distilled section", ("transfer_b64_distill6_clips_per_s",),
+         (15, 45), sec_b64_d6),
+        ("batch-64 distill-1 section", ("transfer_b64_distill1_clips_per_s",),
+         (15, 45), sec_b64_d1),
+        ("train-step section",
+         ("train_b128_step_ms", "train_b128_gflop", "mfu_train_b128"),
+         (100, 300), sec_train),
+    ]
+    ordered = order_sections_stalest_first(
+        sections, emitter.fallback, emitter.fields.get("chip"))
+    if ordered is not sections:
+        sections = ordered
+        log("section order (stalest first): "
+            + ", ".join(s[0] for s in sections))
+    if step_ms is None:
+        # Fused headline failed: the scan section doubles as the fallback
+        # headline and must run first, budget or not.
+        sections.sort(key=lambda s: s[0] != "scan chain")
+
+    for name, fields, (warm_res, cold_res), fn in sections:
+        headline_required = step_ms is None and name == "scan chain"
+        try:
+            if (not headline_required
+                    and over_budget(name, reserve(warm_res, cold_res))):
+                raise TimeoutError("budget")
+            fn()
+            emitter.emit()
+        except Exception as e:  # noqa: BLE001
+            log(f"{name} failed: {e!r}")
 
     if not emitter.ready():
         # Last resort so the driver still records something parseable:

@@ -233,4 +233,86 @@ def test_save_last_good_merges_previous_record(tmp_path, monkeypatch,
     capsys.readouterr()
     saved = json.loads(p.read_text())
     assert "train_b128_step_ms" not in saved
-    assert "fields_from_last_good" not in saved
+    # Cross-chip: nothing inherited; the explicit [] marks all-fresh.
+    assert saved["fields_from_last_good"] == []
+
+
+def test_field_measured_at_persisted_and_inherited(tmp_path, monkeypatch,
+                                                   capsys):
+    """The banked record carries per-field freshness stamps: fields
+    measured this run get a new stamp, merged-in fields keep the previous
+    record's stamp (falling back to its measured_at), so staleness
+    accumulates honestly across partial runs (VERDICT r04 #1)."""
+    p = tmp_path / "last_good.json"
+    p.write_text(json.dumps({
+        "metric": "ddim_step_ms", "value": 0.0096, "unit": "ms",
+        "vs_baseline": 5208.33, "chip": "TPU v5 lite",
+        "train_b128_step_ms": 24.4, "scan_step_ms": 0.0212,
+        "field_measured_at": {"train_b128_step_ms": "2026-08-10T00:00:00Z"},
+        "measured_at": "2026-08-18T22:54:44Z"}))
+    monkeypatch.setenv("MSTLDM_BENCH_LAST_GOOD", str(p))
+    monkeypatch.setattr(B.jax, "default_backend", lambda: "tpu")
+
+    e = B.Emitter()
+    e.set(chip="TPU v5 lite", scan_step_ms=0.03)
+    e.set_headline(0.0101, "fused")
+    e.emit()
+    capsys.readouterr()
+
+    saved = json.loads(p.read_text())
+    fma = saved["field_measured_at"]
+    # Freshly measured this run: a new (recent) stamp.
+    assert fma["scan_step_ms"] >= saved["measured_at"][:10]
+    assert fma["value"] == fma["scan_step_ms"]
+    # Inherited field keeps its own old per-field stamp, not the record's.
+    assert fma["train_b128_step_ms"] == "2026-08-10T00:00:00Z"
+
+
+def test_order_sections_stalest_first():
+    sections = [
+        ("a", ("scan_step_ms",), (0, 0), None),
+        ("b", ("train_b128_step_ms",), (0, 0), None),
+        ("c", ("e2e_10s_clip_s",), (0, 0), None),
+        ("d", ("mfu_transfer_b64", "transfer_b64_ms"), (0, 0), None),
+    ]
+    fb = {
+        "chip": "TPU v5 lite",
+        "measured_at": "2026-08-18T22:00:00Z",
+        "scan_step_ms": 1, "train_b128_step_ms": 2, "mfu_transfer_b64": 3,
+        "transfer_b64_ms": 4,
+        # e2e_10s_clip_s absent from the record entirely -> stalest of all
+        "field_measured_at": {
+            "scan_step_ms": "2026-08-18T22:00:00Z",
+            "train_b128_step_ms": "2026-08-10T00:00:00Z",
+            "mfu_transfer_b64": "2026-08-15T00:00:00Z",
+            # transfer_b64_ms has no per-field stamp -> record measured_at
+        },
+    }
+    out = B.order_sections_stalest_first(sections, fb, "TPU v5 lite")
+    assert [s[0] for s in out] == ["c", "b", "d", "a"]
+
+    # Different chip / missing record: declared order untouched.
+    assert B.order_sections_stalest_first(sections, fb, "TPU v6e") is sections
+    assert B.order_sections_stalest_first(sections, None, "x") is sections
+
+
+def test_carry_forward_empty_list_when_all_fresh(tmp_path, monkeypatch,
+                                                 capsys):
+    """An all-fresh run's final line says so explicitly:
+    fields_from_last_good == [] (the round-5 release-gate criterion)."""
+    p = tmp_path / "last_good.json"
+    p.write_text(json.dumps({
+        "metric": "ddim_step_ms", "value": 0.0096, "chip": "TPU v5 lite",
+        "measured_at": "2026-08-18T22:54:44Z"}))
+    monkeypatch.setenv("MSTLDM_BENCH_LAST_GOOD", str(p))
+    e = B.Emitter()
+    e.set(chip="TPU v5 lite")
+    for k in B.Emitter._SECONDARY_KEYS:
+        e.set(**{k: 1.0})
+    e.set_headline(0.0101, "fused")
+    e.emit()
+    capsys.readouterr()
+    e.carry_forward_missing()
+    e.emit()
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["fields_from_last_good"] == []
