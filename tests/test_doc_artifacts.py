@@ -76,3 +76,26 @@ def test_brace_citation_checked(tmp_path, capsys):
 def test_real_repo_is_consistent():
     """The committed repo itself must have no dangling citations."""
     assert main(["--repo", str(REPO)]) == 0
+
+
+def test_wall_time_claim_checked(tmp_path):
+    """A doc wall-time claim outside the committed report's measurement
+    (±25%) is flagged; a truthful claim passes (VERDICT r04 #8)."""
+    import json
+
+    from tools.check_doc_artifacts import check_wall_time_claims
+
+    (tmp_path / "release_check_report.json").write_text(json.dumps(
+        {"suite": {"tail": "....\n291 passed in 950.12s (0:15:50)"}}))
+    claude = tmp_path / "CLAUDE.md"
+
+    claude.write_text("tests run: full run ~3-4 min on this machine")
+    problems = check_wall_time_claims(tmp_path)
+    assert len(problems) == 1 and "~3-4 min" in problems[0]
+
+    claude.write_text("tests run: full run ~16-17 min on this machine")
+    assert check_wall_time_claims(tmp_path) == []
+
+    # No report: nothing to verify against, nothing flagged.
+    (tmp_path / "release_check_report.json").unlink()
+    assert check_wall_time_claims(tmp_path) == []
