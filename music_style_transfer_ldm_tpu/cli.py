@@ -75,6 +75,36 @@ def cmd_generate_pairings(args) -> int:
     return 0
 
 
+def _encode_kind(kind: str) -> np.ndarray:
+    """Orbax/tensorstore can't store string leaves: kind as ASCII bytes."""
+    return np.frombuffer(kind.encode(), dtype=np.uint8).copy()
+
+
+def _decode_kind(arr) -> str:
+    return bytes(np.asarray(arr, np.uint8).ravel()).decode()
+
+
+def _load_feature_params(path, expected_kind: str):
+    """Load a transplanted feature-params checkpoint (import-torch --vggish
+    / --lpips output) for the trainer; None passes through (random trunk).
+    """
+    if not path:
+        return None
+    from music_style_transfer_ldm_tpu.training.checkpoint import (
+        restore_pytree,
+    )
+    payload = restore_pytree(path)
+    kind = _decode_kind(payload.get("kind"))
+    if kind != expected_kind:
+        raise SystemExit(
+            f"feature checkpoint {path} holds {kind!r} weights but the "
+            f"loss expects {expected_kind!r} (check --style-features vs "
+            "--compression-features / train.compression_feature_extractor)")
+    print(f"transplanted {kind} feature weights loaded from {path}",
+          flush=True)
+    return payload["params"]
+
+
 def cmd_train(args) -> int:
     from music_style_transfer_ldm_tpu.config import default_config
     from music_style_transfer_ldm_tpu.datasets import (
@@ -113,7 +143,13 @@ def cmd_train(args) -> int:
         pair_ds = SpectrogramPairDataset(root, pair_file)
         loader = BatchLoader(pair_ds, cfg.train.batch_size, shuffle=True,
                              seed=cfg.train.seed)
-        trainer = LDMTrainer(cfg)
+        trainer = LDMTrainer(
+            cfg,
+            style_feature_params=_load_feature_params(
+                getattr(args, "style_features", None), "vggish"),
+            compression_feature_params=_load_feature_params(
+                getattr(args, "compression_features", None),
+                cfg.train.compression_feature_extractor))
         pre = None
         if args.pretrained_ae:
             pre = ckpt_lib.load_autoencoder(args.pretrained_ae)
@@ -503,7 +539,15 @@ def cmd_serve(args) -> int:
 
 def cmd_import_torch(args) -> int:
     """Convert a trained reference PyTorch checkpoint into an orbax
-    checkpoint usable by every command here (interop/torch_weights.py)."""
+    checkpoint usable by every command here (interop/torch_weights.py).
+
+    --vggish / --lpips transplant PRETRAINED PERCEPTUAL weights (the
+    reference's torch.hub VGGish, ref: models/loss.py:56-62, and its pip
+    lpips AlexNet, ref: models/loss.py:10) into feature-params checkpoints
+    that `train --style-features / --compression-features` consume — the
+    one-command path for the day real AudioSet/LPIPS weights reach this
+    air-gapped machine (rehearsed end-to-end in tests/test_transplant.py).
+    """
     from music_style_transfer_ldm_tpu.interop import (
         convert_autoencoder_state_dicts, convert_ldm_state_dict,
     )
@@ -512,15 +556,32 @@ def cmd_import_torch(args) -> int:
     def load_sd(path):
         import torch
         # raw tensors are fine: the converters detach/convert themselves
-        return torch.load(path, map_location="cpu")
+        sd = torch.load(path, map_location="cpu")
+        # torch.hub modules often save {'state_dict': ...} wrappers.
+        return sd.get("state_dict", sd) if isinstance(sd, dict) else sd
 
-    if args.ldm:
+    if args.vggish:
+        from music_style_transfer_ldm_tpu.losses.vggish import (
+            convert_torchvggish_state_dict,
+        )
+        payload = {"kind": _encode_kind("vggish"),
+                   "params": convert_torchvggish_state_dict(
+                       load_sd(args.vggish))}
+    elif args.lpips:
+        from music_style_transfer_ldm_tpu.losses.lpips import (
+            convert_torch_lpips_state_dict,
+        )
+        payload = {"kind": _encode_kind("lpips"),
+                   "params": convert_torch_lpips_state_dict(
+                       load_sd(args.lpips))}
+    elif args.ldm:
         payload = convert_ldm_state_dict(load_sd(args.ldm))
     elif args.encoder and args.decoder:
         payload = convert_autoencoder_state_dicts(load_sd(args.encoder),
                                                   load_sd(args.decoder))
     else:
-        print("provide --ldm, or --encoder and --decoder", file=sys.stderr)
+        print("provide --ldm, --vggish, --lpips, or --encoder and "
+              "--decoder", file=sys.stderr)
         return 2
     # Migrated torch weights target the exact-torch (v2) deconv geometry.
     payload["format_version"] = np.asarray(ckpt_lib.FORMAT_VERSION)
@@ -583,6 +644,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "the weights (0.999 typical; 0 = off). Checkpoints "
                         "then carry ema_params, which every inference "
                         "surface prefers (see --raw-weights)")
+    t.add_argument("--style-features",
+                   help="LDM only: transplanted VGGish feature-params "
+                        "checkpoint (import-torch --vggish) for the style "
+                        "loss; default = fixed-seed random trunk")
+    t.add_argument("--compression-features",
+                   help="LDM only: transplanted LPIPS feature-params "
+                        "checkpoint (import-torch --lpips) for the "
+                        "compression perceptual term")
     t.add_argument("--out-dir", default="runs/train")
     t.add_argument("--resume-from",
                    help="full train-state checkpoint to resume from")
@@ -700,6 +769,12 @@ def build_parser() -> argparse.ArgumentParser:
     it.add_argument("--ldm", help="full ldm_<epoch>.pth state dict")
     it.add_argument("--encoder", help="encoder.pth")
     it.add_argument("--decoder", help="decoder.pth")
+    it.add_argument("--vggish",
+                    help="torchvggish .pth -> style-feature params "
+                         "(consumed by train --style-features)")
+    it.add_argument("--lpips",
+                    help="lpips(net='alex') .pth -> compression-feature "
+                         "params (train --compression-features)")
     it.add_argument("--out", required=True)
     it.set_defaults(fn=cmd_import_torch)
 
