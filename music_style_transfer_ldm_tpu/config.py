@@ -118,6 +118,11 @@ class MeshConfig:
     model_axis: str = "model"
     # (-1, 1) => all devices on the data axis by default.
     mesh_shape: Tuple[int, int] = (-1, 1)
+    # Width-shard NHWC batches over the 'model' axis (sequence parallelism
+    # for clips too wide for one chip's HBM); GSPMD inserts the conv halo
+    # exchanges.  Train-step parity vs the replicated step is tested in
+    # tests/test_parallel.py.
+    sequence_parallel: bool = False
 
 
 @dataclasses.dataclass

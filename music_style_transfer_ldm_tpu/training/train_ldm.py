@@ -220,6 +220,7 @@ class LDMTrainer:
         # (measured 74 ms/step sync vs fully-pipelined dispatch without).
         collected = []
         n_data = self.mesh.shape["data"]
+        sp = bool(getattr(self.config.mesh, "sequence_parallel", False))
 
         def place(batch):
             (content, _), (style, _) = batch
@@ -227,8 +228,10 @@ class LDMTrainer:
             # to a partial tail batch — both in the losses (weighted-mean
             # renormalization) and in BatchNorm statistics.
             weights = batch_validity_weights(len(content), n_data, self.mesh)
-            return (shard_batch(jnp.asarray(content), self.mesh),
-                    shard_batch(jnp.asarray(style), self.mesh), weights)
+            return (shard_batch(jnp.asarray(content), self.mesh,
+                                sequence_parallel=sp),
+                    shard_batch(jnp.asarray(style), self.mesh,
+                                sequence_parallel=sp), weights)
 
         # prefetch_to_device: the next batch's (async) host->device copy
         # overlaps the current step's compute — first-order win when the

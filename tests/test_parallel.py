@@ -83,3 +83,123 @@ def test_sequence_parallel_pads_odd_width(rng):
     np.testing.assert_allclose(np.asarray(xs[:, :, :130]), np.asarray(x),
                                atol=1e-7)
     assert float(jnp.abs(xs[:, :, 130:]).max()) == 0.0
+
+
+def test_sequence_parallel_train_step_matches_replicated(rng):
+    """Sequence-parallel TRAINING parity (VERDICT r04 #4): the full LDM
+    train step — losses, GRADIENTS, BN stat update, Adam update — on a
+    (2,4) mesh with width-sharded wide batches matches the unsharded
+    single-device step.  The risk surface is conv halo exchange + global
+    BN reductions + weighted losses under GSPMD; identical PRNG keys make
+    the t draws and q-sample noise bit-equal, so any divergence is a
+    sharding artifact.
+
+    Parity is asserted on the GRADIENTS (the quantity GSPMD must get
+    right): post-Adam params are only sanity-bounded, because Adam
+    normalizes each grad by sqrt(v) — for near-zero bias grads that
+    amplifies benign cross-shard reduction-order noise (~1e-7) to O(lr)
+    sign flips, which says nothing about sharding correctness."""
+    import dataclasses
+
+    from music_style_transfer_ldm_tpu.config import default_config
+    from music_style_transfer_ldm_tpu.training import LDMTrainer
+
+    cfg = default_config()
+    cfg.train = dataclasses.replace(cfg.train, batch_size=4,
+                                    compute_dtype="float32")
+    cfg.model = dataclasses.replace(cfg.model, image_size=64)
+
+    # Wide clip: 64 mels x 256 frames (4 chunks) — the sp use case.
+    content = rng.rand(4, 64, 256, 1).astype(np.float32)
+    style = rng.rand(4, 64, 256, 1).astype(np.float32)
+    key = jax.random.PRNGKey(11)
+    t = jnp.asarray([3, 50, 120, 199], jnp.int32)
+
+    def loss_and_grads(trainer, state, c, s):
+        def loss_fn(params):
+            return trainer._losses(params, state.batch_stats, c, s, t,
+                                   jax.random.PRNGKey(5),
+                                   trainer._feature_params())
+        (_, (metrics, new_stats)), grads = jax.jit(
+            jax.value_and_grad(loss_fn, has_aux=True))(state.params)
+        return metrics, new_stats, grads
+
+    ref = LDMTrainer(cfg, mesh=make_mesh((1, 1), devices=jax.devices()[:1]),
+                     perceptual=True)
+    s_ref = ref.init_state(0)
+    m_ref, bn_ref, g_ref = loss_and_grads(ref, s_ref, jnp.asarray(content),
+                                          jnp.asarray(style))
+
+    cfg_sp = dataclasses.replace(cfg)
+    cfg_sp.mesh = dataclasses.replace(cfg.mesh, mesh_shape=(2, 4),
+                                      sequence_parallel=True)
+    mesh = make_mesh((2, 4))
+    sp = LDMTrainer(cfg_sp, mesh=mesh, perceptual=True)
+    s_sp = sp.init_state(0)
+    c_sh = shard_batch(jnp.asarray(content), mesh, sequence_parallel=True)
+    st_sh = shard_batch(jnp.asarray(style), mesh, sequence_parallel=True)
+    assert c_sh.sharding.spec == sequence_sharding(mesh).spec
+    m_sp, bn_sp, g_sp = loss_and_grads(sp, s_sp, c_sh, st_sh)
+
+    # Same losses...
+    for k in m_ref:
+        np.testing.assert_allclose(float(m_sp[k]), float(m_ref[k]),
+                                   rtol=2e-4, err_msg=k)
+    # ...same gradients (scale-aware: rtol catches halo/BN bugs on the
+    # meaningful elements, atol absorbs reduction-order noise on the
+    # near-zero ones)...
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_sp)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = float(np.abs(a).max())
+        np.testing.assert_allclose(b, a, rtol=5e-3,
+                                   atol=1e-8 + 2e-4 * scale,
+                                   err_msg=jax.tree_util.keystr(pa))
+    # ...and same updated BN statistics.
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(bn_ref),
+            jax.tree_util.tree_leaves_with_path(bn_sp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+    # Full jitted train step runs under the sp sharding; post-Adam params
+    # stay within the 2*lr Adam-noise envelope of the replicated step
+    # (a real halo/BN bug diverges at O(1)).
+    s_ref2, _ = ref._train_step(s_ref, jnp.asarray(content),
+                                jnp.asarray(style), key,
+                                ref._feature_params())
+    s_sp2, m_step = sp._train_step(s_sp, c_sh, st_sh, key,
+                                   sp._feature_params())
+    assert np.isfinite(float(m_step["total_loss"]))
+    lr = cfg.train.learning_rate
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s_ref2.params),
+            jax.tree_util.tree_leaves_with_path(s_sp2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=2.0 * lr,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+
+def test_sequence_parallel_trainer_epoch_places_width_sharded(rng):
+    """config.mesh.sequence_parallel=True makes the trainer's epoch loop
+    width-shard every placed batch (the wiring train_epoch uses)."""
+    import dataclasses
+
+    from music_style_transfer_ldm_tpu.config import default_config
+    from music_style_transfer_ldm_tpu.training import LDMTrainer
+
+    cfg = default_config()
+    cfg.train = dataclasses.replace(cfg.train, batch_size=2,
+                                    compute_dtype="float32")
+    cfg.model = dataclasses.replace(cfg.model, image_size=64)
+    cfg.mesh = dataclasses.replace(cfg.mesh, mesh_shape=(2, 4),
+                                   sequence_parallel=True)
+    mesh = make_mesh((2, 4))
+    trainer = LDMTrainer(cfg, mesh=mesh, perceptual=False)
+    state = trainer.init_state(0)
+    batch = [((rng.rand(2, 64, 256, 1).astype(np.float32), 0),
+              (rng.rand(2, 64, 256, 1).astype(np.float32), 1))]
+    state, avgs = trainer.train_epoch(state, batch, 0, jax.random.PRNGKey(0))
+    assert np.isfinite(avgs["total_loss"])
