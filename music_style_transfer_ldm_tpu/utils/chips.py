@@ -37,6 +37,26 @@ def peak_flops_per_sec(device_kind) -> Optional[float]:
     return None
 
 
+# Published HBM bandwidth per chip (bytes/s) — the roofline's other axis.
+HBM_BYTES_PER_SEC: tuple[tuple[str, float], ...] = (
+    ("v6", 1640e9),
+    ("v5p", 2765e9),
+    ("v5", 819e9),    # v5e / "TPU v5 lite"
+    ("v4", 1228e9),
+    ("v3", 900e9),
+    ("v2", 700e9),
+)
+
+
+def hbm_bytes_per_sec(device_kind) -> Optional[float]:
+    """HBM bandwidth for the chip, or None if unknown (CPU)."""
+    kind = str(device_kind or "").lower()
+    for key, bw in HBM_BYTES_PER_SEC:
+        if key in kind:
+            return bw
+    return None
+
+
 def fused_bucket_max(device_kind: Optional[str] = None) -> int:
     """Largest batch routed to the fused trajectory kernel on this chip.
 

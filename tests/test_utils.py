@@ -91,3 +91,14 @@ def test_stall_watchdog_fires_and_cancels(capsys):
     assert wd.fired
     out = capsys.readouterr().out
     assert "WATCHDOG" in out and "slow epoch" in out
+
+
+def test_hbm_bandwidth_table():
+    """Roofline's bandwidth axis (tools/roofline_b64.py): known chips
+    resolve, unknown (CPU) returns None, v5p matches before v5."""
+    from music_style_transfer_ldm_tpu.utils.chips import hbm_bytes_per_sec
+    assert hbm_bytes_per_sec("TPU v5 lite") == 819e9
+    assert hbm_bytes_per_sec("TPU v5p") == 2765e9
+    assert hbm_bytes_per_sec("TPU v4") == 1228e9
+    assert hbm_bytes_per_sec("cpu") is None
+    assert hbm_bytes_per_sec(None) is None
