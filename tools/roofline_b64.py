@@ -40,6 +40,9 @@ def main() -> int:
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--chain", type=int, default=0,
                    help="dependent-call chain length (0 = auto)")
+    p.add_argument("--skip-fused", action="store_true",
+                   help="skip the fused-kernel stage (CPU interpret mode "
+                        "is impractically slow at large batch)")
     args = p.parse_args()
 
     from music_style_transfer_ldm_tpu.utils.cache import (
@@ -234,6 +237,8 @@ def main() -> int:
 
     # ---- candidate: fused Pallas trajectory kernel at b64 -----------------
     try:
+        if args.skip_fused:
+            raise RuntimeError("skipped (--skip-fused)")
         from music_style_transfer_ldm_tpu.ops.pallas.fused_sampler import (
             fused_ddim_sample, pack_operands,
         )

@@ -93,7 +93,8 @@ def drive_level(engine, rate_per_s: float, seconds: float,
 
 
 def run_curve(autoscale: bool, loads, seconds: float, invert_audio: bool,
-              sampler: str, sample_steps) -> dict:
+              sampler: str, sample_steps, steps: int = 50,
+              buckets=(1, 2, 4, 8)) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -114,9 +115,10 @@ def run_curve(autoscale: bool, loads, seconds: float, invert_audio: bool,
         jnp.zeros((1, S, S, 1)), jnp.zeros((1, S, S, 1)),
         jnp.zeros((1,), jnp.int32))
 
-    ecfg = EngineConfig(sampler=sampler, sample_steps=sample_steps,
+    ecfg = EngineConfig(steps=steps, sampler=sampler,
+                        sample_steps=sample_steps,
                         invert_audio=invert_audio, autoscale=autoscale,
-                        max_bucket=128)
+                        batch_buckets=tuple(buckets), max_bucket=128)
     engine = InferenceEngine(model, variables, ecfg)
     t0 = time.time()
     engine.warmup()
@@ -149,6 +151,8 @@ def main() -> int:
                         "(default: mel-image serving)")
     p.add_argument("--sampler", default="dpm++")
     p.add_argument("--sample-steps", type=int, default=26)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--buckets", default="1,2,4,8")
     p.add_argument("--out", default=str(REPO / "docs" / "results"
                                         / "serving_load_curve.json"))
     args = p.parse_args()
@@ -168,9 +172,11 @@ def main() -> int:
         "seconds_per_level": args.seconds,
         "arrivals": "open-loop Poisson (exponential inter-arrival)",
         "runs": [run_curve(False, loads, args.seconds, args.invert_audio,
-                           args.sampler, args.sample_steps),
+                           args.sampler, args.sample_steps, args.steps,
+                           [int(b) for b in args.buckets.split(",")]),
                  run_curve(True, loads, args.seconds, args.invert_audio,
-                           args.sampler, args.sample_steps)],
+                           args.sampler, args.sample_steps, args.steps,
+                           [int(b) for b in args.buckets.split(",")])],
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     out = Path(args.out)
