@@ -201,9 +201,24 @@ def _run_sampler(sampler: str, denoise_fn, sched, z_t, times, eta,
                                     "guidance"))
 def _style_sample_impl(model: LDM, variables, key, z_shape, style_spec,
                        timesteps, eta, return_logs, sampler="ddim",
-                       guidance=1.0):
+                       guidance=1.0, latent_stats=None):
     sched = model.schedule
-    z_t = jax.random.normal(key, z_shape, jnp.float32)
+    eps = jax.random.normal(key, z_shape, jnp.float32)
+    if latent_stats is not None:
+        # Moment-matched z_T: with T=200 linear betas, alpha_bar[T-1] is
+        # ~0.134, so sqrt(alpha_bar) ~ 0.37 of the SIGNAL survives at the
+        # end of the schedule — the denoiser was trained on
+        # q(z_T|z_0) = sqrt(ab) z_0 + sqrt(1-ab) eps, never on pure
+        # N(0, I).  Generation therefore starts off-prior unless z_T is
+        # drawn from the true marginal: with per-channel corpus latent
+        # moments (mu, sigma), q(z_T) = N(sqrt(ab) mu, ab sigma^2 + 1-ab).
+        # (The reference inherits the same mismatch, ref: model.py:394.)
+        mu, sigma = latent_stats
+        ab = sched.alpha_bars[model.num_timesteps - 1]
+        z_t = (jnp.sqrt(ab) * mu
+               + jnp.sqrt(ab * sigma * sigma + (1.0 - ab)) * eps)
+    else:
+        z_t = eps
     style_embedding = model.apply(variables, style_spec,
                                   method=LDM.style_embed)
     times = generation_time_grid(model.num_timesteps, timesteps)
@@ -215,12 +230,31 @@ def _style_sample_impl(model: LDM, variables, key, z_shape, style_spec,
     return decoded, logs
 
 
+def corpus_latent_stats(model: LDM, variables, images,
+                        batch: int = 64) -> Tuple[jax.Array, jax.Array]:
+    """Per-channel (mu, sigma) of the encoder's latent distribution over a
+    corpus of [N, H, W, 1] images in [0, 1] — the inputs moment-matched
+    generation needs (see _style_sample_impl latent_stats).  Tiny host
+    artifact: two [latent_dim] vectors."""
+    import numpy as np
+    zs = []
+    enc = jax.jit(lambda x: model.apply(variables, x, method=LDM.encode))
+    for s in range(0, len(images), batch):
+        zs.append(np.asarray(enc(jnp.asarray(images[s:s + batch],
+                                             jnp.float32))))
+    z = np.concatenate(zs).astype(np.float64)
+    mu = z.mean(axis=(0, 1, 2))
+    sigma = z.std(axis=(0, 1, 2))
+    return jnp.asarray(mu, jnp.float32), jnp.asarray(sigma, jnp.float32)
+
+
 def style_ddim_sample(model: LDM, variables, key: jax.Array,
                       z_shape: Tuple[int, ...], style_spec: jax.Array,
                       timesteps: int = 100, eta: float = 0.0,
                       return_logs: bool = False,
                       sampler: str = "ddim",
-                      guidance: float = 1.0
+                      guidance: float = 1.0,
+                      latent_stats=None
                       ) -> Tuple[jax.Array, Optional[dict]]:
     """Style-conditioned generation from pure noise
     (ref: model.py:382-407 style_ddim_sample_wrapper).
@@ -229,11 +263,15 @@ def style_ddim_sample(model: LDM, variables, key: jax.Array,
     sampler='dpm++' runs DPM-Solver++(2M) on the same grid.
     guidance != 1 applies classifier-free style guidance (needs a model
     trained/finetuned with style_dropout > 0; see _denoise_fn).
+    latent_stats=(mu, sigma) [latent_dim] switches z_T from N(0, I) to the
+    schedule's true marginal q(z_T) under those corpus latent moments
+    (corpus_latent_stats) — see _style_sample_impl for why N(0, I) is
+    off-prior at T=200.
     """
     return _style_sample_impl(model, variables, key, tuple(z_shape),
                               style_spec.astype(jnp.float32), timesteps,
                               float(eta), return_logs, sampler,
-                              float(guidance))
+                              float(guidance), latent_stats)
 
 
 @functools.partial(jax.jit,

@@ -144,3 +144,53 @@ def test_engine_rejects_fused_guidance():
     with pytest.raises(ValueError, match="guidance"):
         InferenceEngine(model, variables,
                         EngineConfig(sampler="fused", guidance=2.0))
+
+
+def test_moment_matched_generation_init(rng):
+    """latent_stats switches z_T to the schedule's true marginal
+    q(z_T) = N(sqrt(ab) mu, ab sigma^2 + 1 - ab): corpus_latent_stats
+    returns the encoder's per-channel latent moments, and generation
+    with them runs end to end (models/ldm.py _style_sample_impl)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from music_style_transfer_ldm_tpu.models.ldm import (
+        LDM, corpus_latent_stats, style_ddim_sample,
+    )
+
+    model = LDM(latent_dim=32, num_timesteps=200)
+    x = jnp.asarray(rng.rand(2, 64, 64, 1).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "diffusion": jax.random.PRNGKey(1)},
+        x, x, jnp.zeros((2,), jnp.int32))
+
+    corpus = rng.rand(6, 64, 64, 1).astype(np.float32)
+    mu, sigma = corpus_latent_stats(model, variables, corpus, batch=4)
+    assert mu.shape == (32,) and sigma.shape == (32,)
+    z = np.asarray(jax.jit(
+        lambda c: model.apply(variables, c, method=LDM.encode))(
+            jnp.asarray(corpus)))
+    np.testing.assert_allclose(np.asarray(mu), z.mean(axis=(0, 1, 2)),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sigma), z.std(axis=(0, 1, 2)),
+                               rtol=1e-4, atol=1e-5)
+
+    # Schedule sanity: the mismatch being corrected is real — a large
+    # fraction of signal survives at T-1 on the reference schedule.
+    ab = float(model.schedule.alpha_bars[model.num_timesteps - 1])
+    assert 0.1 < ab < 0.2  # sqrt(ab) ~ 0.37 of z_0 remains at "pure noise"
+
+    out_plain, _ = style_ddim_sample(
+        model, variables, jax.random.PRNGKey(3), (2, 8, 8, 32), x,
+        timesteps=3)
+    out_mm, _ = style_ddim_sample(
+        model, variables, jax.random.PRNGKey(3), (2, 8, 8, 32), x,
+        timesteps=3, latent_stats=(mu, sigma))
+    for out in (out_plain, out_mm):
+        assert out.shape == (2, 64, 64, 1)
+        assert np.isfinite(np.asarray(out)).all()
+        assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
+    # Different init distribution => different samples (same key).
+    assert float(jnp.abs(out_mm - out_plain).max()) > 1e-6

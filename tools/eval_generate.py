@@ -57,6 +57,12 @@ def main() -> int:
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--sampler", choices=["ddim", "dpm++"], default="ddim")
     p.add_argument("--guidance", type=float, default=1.0)
+    p.add_argument("--latent-stats", choices=["none", "corpus"],
+                   default="none",
+                   help="'corpus': draw z_T from the schedule's true "
+                        "marginal q(z_T) under per-channel latent moments "
+                        "of the style class (models.ldm.corpus_latent_stats"
+                        ") instead of N(0, I)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None)
     args = p.parse_args()
@@ -107,11 +113,19 @@ def main() -> int:
           flush=True)
 
     z_hw = cfg.model.image_size // 8  # 3 stride-2 encoder stages (cli.py)
+    latent_stats = None
+    if args.latent_stats == "corpus":
+        from music_style_transfer_ldm_tpu.models.ldm import (
+            corpus_latent_stats,
+        )
+        # Moments from the class corpus EXCLUDING the eval halves: the
+        # conditioning styles only (two [latent_dim] vectors).
+        latent_stats = corpus_latent_stats(model, variables, styles)
     generated, _ = style_ddim_sample(
         model, variables, jax.random.PRNGKey(args.seed),
         (args.n, z_hw, z_hw, cfg.model.latent_dim), jnp.asarray(styles),
         timesteps=args.steps, sampler=args.sampler,
-        guidance=args.guidance)
+        guidance=args.guidance, latent_stats=latent_stats)
     generated = np.asarray(generated)
 
     e_gen = trunk_embeddings(generated, seed=11)
@@ -123,6 +137,7 @@ def main() -> int:
         "style_class": cls, "class_name": name, "n": args.n,
         "steps": args.steps, "sampler": args.sampler,
         "guidance": args.guidance,
+        "latent_stats": args.latent_stats,
         "fad_generated_vs_style_corpus": round(
             frechet_distance(e_gen, e_a), 4),
         "fad_real_vs_real_floor": round(frechet_distance(e_b, e_a), 4),

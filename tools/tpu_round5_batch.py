@@ -26,7 +26,7 @@ REPO = Path("/root/repo")
 sys.path.insert(0, str(REPO))
 
 argv = sys.argv[1:]
-STAGES = set(argv) or {"cfg", "ggen"}
+STAGES = set(argv) or {"teval", "gen0", "cfg", "ggen"}
 
 from music_style_transfer_ldm_tpu.utils.cache import (  # noqa: E402
     enable_compilation_cache,
@@ -53,6 +53,50 @@ RESULTS_GG = REPO / "docs" / "results" / "guidance_gen"
 def banner(s):
     print(f"\n==== {s} ({time.time() - t0:.0f}s) ====", flush=True)
 
+
+# ---- stage teval: flagship transfer eval on THIS teacher -----------------
+# Refreshes docs/results/fullscale/transfer_eval.json (the 91.4 % style-
+# reduction claim) so every committed quality artifact describes the same
+# retrained teacher.
+if "teval" in STAGES:
+    banner("teval: 16-pair held-out transfer eval, 50-step DDIM")
+    try:
+        import tools.eval_transfer as et
+        old = sys.argv
+        sys.argv = ["eval_transfer", "--checkpoint", str(TEACHER),
+                    "--pack", str(PACK), "--pairings", str(PAIRINGS),
+                    "--n-pairs", "16", "--steps", "50",
+                    "--sampler", "ddim", "--guidance", "1.0",
+                    "--out-dir", str(REPO / "docs" / "results"
+                                     / "fullscale"),
+                    "--json-name", "transfer_eval.json"]
+        try:
+            assert et.main() == 0
+        finally:
+            sys.argv = old
+    except Exception:
+        traceback.print_exc()
+
+# ---- stage gen0: unguided generation baseline on THIS teacher ------------
+# Refreshes docs/results/fullscale/generate_eval_c*.json so the guided
+# numbers below compare against the same weights, not round-4's teacher.
+if "gen0" in STAGES:
+    banner("gen0: unguided generation FAD baseline, all classes")
+    import tools.eval_generate as eg
+    for cls in range(4):
+        try:
+            old = sys.argv
+            sys.argv = ["eval_generate", "--checkpoint", str(TEACHER),
+                        "--pack", str(PACK), "--style-class", str(cls),
+                        "--n", "16", "--steps", "100",
+                        "--out", str(REPO / "docs" / "results" / "fullscale"
+                                     / f"generate_eval_c{cls}.json")]
+            try:
+                assert eg.main() == 0
+            finally:
+                sys.argv = old
+        except Exception:
+            traceback.print_exc()
 
 # ---- stage cfg: style-dropout finetune WITH EMA --------------------------
 if "cfg" in STAGES:
@@ -81,26 +125,33 @@ if "cfg" in STAGES:
         traceback.print_exc()
 
 # ---- stage ggen: guided generation eval (VERDICT r04 #2) -----------------
+# g sweep on the EMA finetuned checkpoint, plus the moment-matched-z_T
+# variant (suffix _mm) at each g — two independent levers on the
+# generation path, measured factorially.
 if "ggen" in STAGES:
-    banner("ggen: generation FAD, g in {1, 1.5, 2} x 4 classes, EMA ckpt")
+    banner("ggen: generation FAD, g x {plain, moment-matched} x 4 classes")
     import tools.eval_generate as eg
     for g in (1.0, 1.5, 2.0):
-        for cls in range(4):
-            out = RESULTS_GG / f"generate_eval_c{cls}_g{g:g}.json"
-            if out.exists():
-                print(f"skip existing {out.name}", flush=True)
-                continue
-            try:
-                old = sys.argv
-                sys.argv = ["eval_generate", "--checkpoint", str(CFG_FINAL),
-                            "--pack", str(PACK), "--style-class", str(cls),
-                            "--n", "16", "--steps", "100",
-                            "--guidance", str(g), "--out", str(out)]
+        for mm in ("none", "corpus"):
+            for cls in range(4):
+                suffix = "_mm" if mm == "corpus" else ""
+                out = RESULTS_GG / f"generate_eval_c{cls}_g{g:g}{suffix}.json"
+                if out.exists():
+                    print(f"skip existing {out.name}", flush=True)
+                    continue
                 try:
-                    assert eg.main() == 0
-                finally:
-                    sys.argv = old
-            except Exception:
-                traceback.print_exc()
+                    old = sys.argv
+                    sys.argv = ["eval_generate", "--checkpoint",
+                                str(CFG_FINAL), "--pack", str(PACK),
+                                "--style-class", str(cls),
+                                "--n", "16", "--steps", "100",
+                                "--guidance", str(g),
+                                "--latent-stats", mm, "--out", str(out)]
+                    try:
+                        assert eg.main() == 0
+                    finally:
+                        sys.argv = old
+                except Exception:
+                    traceback.print_exc()
 
 print(f"\nALL DONE in {time.time() - t0:.0f}s", flush=True)
