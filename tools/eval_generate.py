@@ -63,6 +63,9 @@ def main() -> int:
                         "marginal q(z_T) under per-channel latent moments "
                         "of the style class (models.ldm.corpus_latent_stats"
                         ") instead of N(0, I)")
+    p.add_argument("--raw-weights", action="store_true",
+                   help="sample from the raw trained weights instead of "
+                        "the checkpoint's EMA (measures EMA's effect)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None)
     args = p.parse_args()
@@ -86,7 +89,8 @@ def main() -> int:
     )
 
     cfg = default_config()
-    model, variables = load_ldm(cfg, full_checkpoint=args.checkpoint)
+    model, variables = load_ldm(cfg, full_checkpoint=args.checkpoint,
+                                use_ema=not args.raw_weights)
 
     ds = PackedSpectrogramDataset(args.pack)
     labels = ds.gather(np.arange(ds.n), dtype="uint8")[1]
@@ -138,6 +142,7 @@ def main() -> int:
         "steps": args.steps, "sampler": args.sampler,
         "guidance": args.guidance,
         "latent_stats": args.latent_stats,
+        "weights": "raw" if args.raw_weights else "ema-preferred",
         "fad_generated_vs_style_corpus": round(
             frechet_distance(e_gen, e_a), 4),
         "fad_real_vs_real_floor": round(frechet_distance(e_b, e_a), 4),
