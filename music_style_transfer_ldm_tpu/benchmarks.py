@@ -299,8 +299,8 @@ class Emitter:
         "transfer_dpm_halfgrid_ms", "e2e_10s_clip_s", "transfer_b64_ms",
         "transfer_b64_gflop", "mfu_transfer_b64",
         "transfer_b64_dpm25_clips_per_s", "transfer_b64_distill6_clips_per_s",
-        "transfer_b64_distill1_clips_per_s", "train_b128_step_ms",
-        "train_b128_gflop", "mfu_train_b128")
+        "transfer_b64_distill1_clips_per_s", "serving_saturated_clips_per_s",
+        "train_b128_step_ms", "train_b128_gflop", "mfu_train_b128")
 
     def carry_forward_missing(self) -> None:
         """Fill secondary fields a budget-skipped run didn't measure from
@@ -864,6 +864,45 @@ def main() -> None:
             f"clips/s ({thr_d1 * 1000:.2f} ms/batch)")
         emitter.set(transfer_b64_distill1_clips_per_s=round(64 / thr_d1))
 
+    # ---- serving engine saturation throughput -----------------------------
+    # The async microbatcher under a saturating closed burst: 256 requests
+    # enqueued at once, measured to last completion.  Exercises the real
+    # queue -> bucket-dispatch -> device path (mel-image serving; the
+    # full latency/throughput-vs-offered-load curves incl. audio inversion
+    # live in docs/results/serving_load_curve.json via
+    # tools/serving_load_curve.py).
+    def sec_serving():
+        from music_style_transfer_ldm_tpu.serving.engine import (
+            EngineConfig, InferenceEngine,
+        )
+        ecfg = EngineConfig(sampler="dpm++", sample_steps=steps // 2 + 1,
+                            invert_audio=False)
+        engine = InferenceEngine(model, variables, ecfg)
+        engine.warmup()
+        engine.start()
+        try:
+            rng_s = np.random.RandomState(3)
+            reqs = [(rng_s.rand(S, S, 1).astype(np.float32),
+                     rng_s.rand(S, S, 1).astype(np.float32))
+                    for _ in range(16)]
+            # Prime one request through the full path before timing.
+            engine.submit(*reqs[0], seed=0).get()
+            n_req = 256
+            t0 = time.perf_counter()
+            waiters = [engine.submit(*reqs[i % 16], seed=i)
+                       for i in range(n_req)]
+            for w in waiters:
+                out = w.get(timeout=120)
+                if isinstance(out, Exception):
+                    raise out
+            dt = time.perf_counter() - t0
+        finally:
+            engine.stop()
+        log(f"serving saturation: {n_req} queued requests in {dt:.2f}s "
+            f"-> {n_req / dt:.0f} clips/s (dpm++ {steps // 2 + 1}-step, "
+            f"bucket ladder {ecfg.batch_buckets})")
+        emitter.set(serving_saturated_clips_per_s=round(n_req / dt, 1))
+
     # ---- batch-128 LDM train step (reference recipe) + MFU ---------------
     def sec_train():
         from music_style_transfer_ldm_tpu.training import LDMTrainer
@@ -947,6 +986,8 @@ def main() -> None:
          (15, 45), sec_b64_d6),
         ("batch-64 distill-1 section", ("transfer_b64_distill1_clips_per_s",),
          (15, 45), sec_b64_d1),
+        ("serving section", ("serving_saturated_clips_per_s",),
+         (30, 120), sec_serving),
         ("train-step section",
          ("train_b128_step_ms", "train_b128_gflop", "mfu_train_b128"),
          (100, 300), sec_train),
