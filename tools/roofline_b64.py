@@ -121,15 +121,20 @@ def main() -> int:
     }
 
     def stage(name: str, chained_fn, single_fn, single_args,
-              per_call_scale: float = 1.0) -> None:
-        """Measure a stage: chained_fn is jitted chain over n_chain calls;
-        single_fn/single_args feed cost_analysis for ONE call."""
+              chain: int | None = None) -> None:
+        """Measure a stage: chained_fn(x, n) must run the op n times as a
+        dependent chain; single_fn/single_args feed cost_analysis for ONE
+        call.  `chain` overrides the stage's chain length — the small
+        stages (~0.1 ms device) need ~1000 chained calls so the measured
+        delta dominates the ~2 ms relay sync jitter; the big stages only
+        need tens."""
+        n = n_chain if chain is None else (2 if on_cpu else chain)
         jitted_single = jax.jit(single_fn)
         fl = _flops(jitted_single, *single_args)
         by = bytes_accessed(jitted_single, *single_args)
-        t_chain, _ = timed(jax.jit(chained_fn), *single_args[:1],
-                           repeats=4, warmup=25)
-        t = max(t_chain - floor_s, 1e-9) / n_chain * per_call_scale
+        t_chain, _ = timed(jax.jit(lambda x: chained_fn(x, n)),
+                           *single_args[:1], repeats=4, warmup=25)
+        t = max(t_chain - floor_s, 1e-9) / n
         intensity = (fl / by) if (fl and by) else None
         achieved = (fl / t) if fl else None
         bound = None
@@ -155,28 +160,29 @@ def main() -> int:
     def style_embed_once(s):
         return model.apply(variables, s, method=LDM.style_embed)
 
-    def style_embed_chain(s):
+    def style_embed_chain(s, n):
         def body(i, s):
             emb = style_embed_once(s)
             # Real dependency: fold a tiny slice of the output back into
             # the next input (prevents hoisting/DCE without meaningfully
             # changing the work).
             return s + jnp.mean(emb["s6"]).astype(s.dtype) * 1e-12
-        return jax.lax.fori_loop(0, n_chain, body, s)
+        return jax.lax.fori_loop(0, n, body, s)
 
-    stage("style_encoder", style_embed_chain, style_embed_once, (style,))
+    stage("style_encoder", style_embed_chain, style_embed_once, (style,),
+          chain=768)
 
     # ---- stage: VAE encode ----------------------------------------------
     def encode_once(c):
         return model.apply(variables, c, method=LDM.encode)
 
-    def encode_chain(c):
+    def encode_chain(c, n):
         def body(i, c):
             z = encode_once(c)
             return c + jnp.mean(z).astype(c.dtype) * 1e-12
-        return jax.lax.fori_loop(0, n_chain, body, c)
+        return jax.lax.fori_loop(0, n, body, c)
 
-    stage("vae_encode", encode_chain, encode_once, (content,))
+    stage("vae_encode", encode_chain, encode_once, (content,), chain=768)
 
     # ---- stage: the 49-step DDIM scan (denoiser walk only) ---------------
     emb = style_embed_once(style)
@@ -188,8 +194,8 @@ def main() -> int:
     def scan_once(z):
         return ddim_sample(fn, sched, z, jnp.asarray(times_grid), eta=0.0)[0]
 
-    def scan_chain(z):
-        return jax.lax.fori_loop(0, n_chain, lambda i, z: scan_once(z), z)
+    def scan_chain(z, n):
+        return jax.lax.fori_loop(0, n, lambda i, z: scan_once(z), z)
 
     stage("ddim_scan_49", scan_chain, scan_once, (z0,))
 
@@ -197,13 +203,13 @@ def main() -> int:
     def decode_once(z):
         return model.apply(variables, z, method=LDM.decode)
 
-    def decode_chain(z):
+    def decode_chain(z, n):
         def body(i, z):
             img = decode_once(z)
             return z + jnp.mean(img).astype(z.dtype) * 1e-12
-        return jax.lax.fori_loop(0, n_chain, body, z)
+        return jax.lax.fori_loop(0, n, body, z)
 
-    stage("vae_decode", decode_chain, decode_once, (z0,))
+    stage("vae_decode", decode_chain, decode_once, (z0,), chain=768)
 
     # ---- whole path (the bench's transfer_b64) ---------------------------
     def transfer_once(c):
@@ -212,10 +218,10 @@ def main() -> int:
             num_timesteps=steps, eta=0.0)
         return decoded
 
-    def transfer_chain(c):
+    def transfer_chain(c, n):
         def body(i, c):
             return transfer_once(c)
-        return jax.lax.fori_loop(0, n_chain, body, c)
+        return jax.lax.fori_loop(0, n, body, c)
 
     stage("full_transfer", transfer_chain, transfer_once, (content,))
 
@@ -228,9 +234,9 @@ def main() -> int:
             c.astype(jnp.float32), style, num_timesteps=steps, eta=0.0)
         return decoded.astype(jnp.bfloat16)
 
-    def transfer_bf16_chain(c):
+    def transfer_bf16_chain(c, n):
         return jax.lax.fori_loop(
-            0, n_chain, lambda i, c: transfer_bf16_once(c), c)
+            0, n, lambda i, c: transfer_bf16_once(c), c)
 
     stage("full_transfer_bf16_io", transfer_bf16_chain, transfer_bf16_once,
           (content16,))
@@ -250,11 +256,11 @@ def main() -> int:
             return fused_ddim_sample(ops, names, z, steps - 1,
                                      dtype=jnp.bfloat16, interpret=on_cpu)
 
-        def fused_chain(z):
-            return jax.lax.fori_loop(0, n_chain,
+        def fused_chain(z, n):
+            return jax.lax.fori_loop(0, n,
                                      lambda i, z: fused_once(z), z)
 
-        stage("fused_kernel_b64", fused_chain, fused_once, (z0,))
+        stage("fused_kernel_b64", fused_chain, fused_once, (z0,), chain=8)
     except Exception as e:  # noqa: BLE001
         print(f"fused b64 stage failed: {e!r}", flush=True)
         record["stages"]["fused_kernel_b64"] = {"error": repr(e)}
