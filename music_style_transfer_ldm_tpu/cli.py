@@ -706,9 +706,12 @@ def build_parser() -> argparse.ArgumentParser:
     gen.add_argument("--seed", type=int, default=0)
     gen.add_argument("--guidance", type=float, default=1.0,
                      help="classifier-free style-guidance scale (0 = "
-                          "unconditional, 1 = plain conditional, > 1 = "
-                          "amplified style; needs a checkpoint trained "
-                          "with style_dropout > 0)")
+                          "unconditional, 1 = plain conditional; needs a "
+                          "checkpoint trained with style_dropout > 0). "
+                          "GENERATION's measured operating point is "
+                          "g~14-16 — far past transfer's g~1.5 knee; "
+                          "below-ceiling FAD for all classes at 16 "
+                          "(docs/results/guidance_gen/README.md)")
     gen.add_argument("--raw-weights", action="store_true",
                      help="sample from the raw (non-EMA) weights even when "
                           "the checkpoint carries ema_params")
