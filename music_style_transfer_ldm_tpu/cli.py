@@ -237,6 +237,37 @@ def _warn_distill_mismatch(args) -> None:
               file=sys.stderr)
 
 
+def _warn_generate_distill_mismatch(args, num_timesteps: int) -> None:
+    """Generation-side twin of _warn_distill_mismatch.
+
+    Generation walks linspace(T-1, 0, --steps) over the FULL schedule, so
+    a distilled student is only on-grid when it was distilled with
+    t_max == T (e.g. the guided-generation cascade,
+    docs/results/guidance_gen/README.md) AND --steps == its trained
+    steps + 1.  A transfer-distilled student (t_max < T) never saw the
+    high-noise end of the generation grid at all.  Advisory only."""
+    if not getattr(args, "checkpoint", None):
+        return
+    from music_style_transfer_ldm_tpu.models.ldm import (
+        checkpoint_distill_meta,
+    )
+    meta = checkpoint_distill_meta(args.checkpoint)
+    if not meta:
+        return
+    t_max = int(meta.get("t_max", num_timesteps))
+    want = int(meta.get("steps", 0)) + 1
+    if t_max != num_timesteps:
+        print(f"WARNING: checkpoint was distilled for TRANSFER over "
+              f"t_max={t_max} (< the full T={num_timesteps} schedule); "
+              "generation from noise walks timesteps it never trained on "
+              "and output quality will degrade silently",
+              file=sys.stderr)
+    elif int(args.steps) != want:
+        print(f"WARNING: generation-distilled checkpoint expects "
+              f"--steps {want} (its training grid), got {args.steps}: "
+              "off-grid sampling degrades silently", file=sys.stderr)
+
+
 def cmd_generate(args) -> int:
     """Style-conditioned generation from noise (ref: tests.py:782-876)."""
     import jax
@@ -245,6 +276,7 @@ def cmd_generate(args) -> int:
     from music_style_transfer_ldm_tpu.models.ldm import style_ddim_sample
 
     cfg = default_config()
+    _warn_generate_distill_mismatch(args, cfg.diffusion.num_timesteps)
     ap = AudioProcessor()
     model, variables = _restore_ldm(
         cfg, args.checkpoint, use_ema=not getattr(args, "raw_weights", False))

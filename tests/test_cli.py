@@ -248,3 +248,61 @@ def test_transfer_dim_output_hint(tmp_path, monkeypatch, capsys):
     assert cli_mod.main(base + ["--match-level",
                                 "--output", str(tmp_path / "ml")]) == 0
     assert "--match-level" not in capsys.readouterr().err
+
+
+def test_warn_generate_distill_mismatch(tmp_path, capsys):
+    """Generation-side grid advisory: a transfer-distilled student
+    (t_max < T) warns for ANY --steps; a generation-distilled student
+    (t_max == T) warns off its trained step count and is silent on it."""
+    import argparse
+
+    from music_style_transfer_ldm_tpu.cli import (
+        _warn_generate_distill_mismatch,
+    )
+    from music_style_transfer_ldm_tpu.training import checkpoint as ckpt_lib
+
+    transfer_student = tmp_path / "tstudent"
+    ckpt_lib.save_pytree(transfer_student, {
+        "params": {"w": np.zeros(2, np.float32)}, "batch_stats": {},
+        "format_version": np.asarray(ckpt_lib.FORMAT_VERSION),
+        "distill": {"steps": 6, "t_max": 50, "stages": [48, 24, 12, 6],
+                    "guidance": 1.0}})
+    gen_student = tmp_path / "gstudent"
+    ckpt_lib.save_pytree(gen_student, {
+        "params": {"w": np.zeros(2, np.float32)}, "batch_stats": {},
+        "format_version": np.asarray(ckpt_lib.FORMAT_VERSION),
+        "distill": {"steps": 6, "t_max": 200, "stages": [96, 48, 24, 12],
+                    "guidance": 16.0}})
+
+    def ns(ckpt, steps):
+        return argparse.Namespace(checkpoint=str(ckpt), steps=steps)
+
+    _warn_generate_distill_mismatch(ns(transfer_student, 7), 200)
+    assert "TRANSFER over t_max=50" in capsys.readouterr().err
+    _warn_generate_distill_mismatch(ns(gen_student, 100), 200)
+    assert "expects --steps 7" in capsys.readouterr().err
+    _warn_generate_distill_mismatch(ns(gen_student, 7), 200)
+    assert capsys.readouterr().err == ""
+
+
+def test_generation_cascade_grids_nest():
+    """The full-schedule (t_max=200) cascade the guided-generation
+    distillation uses (96->48->24->12) has nesting grids at every stage;
+    the final student's 7-point grid equals the generation grid
+    linspace(199, 0, 7) that `generate --steps 7` walks."""
+    from music_style_transfer_ldm_tpu.diffusion.ddim import (
+        generation_time_grid,
+    )
+    from music_style_transfer_ldm_tpu.training.distill import (
+        distill_stage_grids,
+    )
+
+    prev_student = None
+    for n_teacher in (96, 48, 24, 12):
+        teacher, student = distill_stage_grids(200, n_teacher)
+        np.testing.assert_array_equal(teacher[::2], student)
+        if prev_student is not None:
+            np.testing.assert_array_equal(prev_student, teacher)
+        prev_student = student
+    np.testing.assert_array_equal(prev_student,
+                                  generation_time_grid(200, 7))
