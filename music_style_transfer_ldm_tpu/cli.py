@@ -537,6 +537,8 @@ def cmd_serve(args) -> int:
     ecfg = EngineConfig(steps=args.steps, sampler=args.sampler,
                         sample_steps=args.sample_steps,
                         guidance=args.guidance,
+                        generate_steps=args.generate_steps,
+                        generate_guidance=args.generate_guidance,
                         batch_buckets=tuple(args.buckets),
                         max_wait_ms=args.max_wait_ms,
                         autoscale=args.autoscale)
@@ -832,6 +834,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="classifier-free style-guidance scale (scan "
                          "samplers only; needs style_dropout-trained "
                          "weights)")
+    sv.add_argument("--generate-steps", type=int, default=None,
+                    help="step grid for the /v1/generate route (default: "
+                         "--steps; a generation-distilled student wants "
+                         "its trained grid, e.g. 7)")
+    sv.add_argument("--generate-guidance", type=float, default=1.0,
+                    help="guidance for /v1/generate (measured generation "
+                         "knee ~14-16 on CFG-trained weights; "
+                         "docs/results/guidance_gen/)")
     sv.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4, 8])
     sv.add_argument("--mesh-dp", type=int, default=1,
                     help="shard every serving bucket over this many "

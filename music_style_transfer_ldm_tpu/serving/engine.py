@@ -76,6 +76,13 @@ class EngineConfig:
     autoscale: bool = False
     autoscale_after: int = 4
     max_bucket: int = 128
+    # Generation-from-noise route (POST /v1/generate): its own step grid
+    # and guidance, independent of the transfer path's.  generate_steps
+    # None = reuse `steps`.  For a generation-distilled student use its
+    # trained grid (e.g. 7); for a stock/CFG checkpoint the measured
+    # generation knee is guidance ~14-16 (docs/results/guidance_gen/).
+    generate_steps: Optional[int] = None
+    generate_guidance: float = 1.0
 
 
 class InferenceEngine:
@@ -132,6 +139,10 @@ class InferenceEngine:
         # One jitted program; jax specializes per batch shape, so the bucket
         # ladder only decides what to pad to (and what warmup pre-compiles).
         self._transfer_fn = self._build_transfer()
+        # Generation program: built lazily on first use (optional route;
+        # costs a compile only when someone actually generates).
+        self._generate_fn = None
+        self._gen_lock = threading.Lock()
         self._warm_buckets: set = set()
         self._thread: Optional[threading.Thread] = None
 
@@ -181,24 +192,55 @@ class InferenceEngine:
                     match_moments,
                 )
                 decoded = match_moments(decoded, style)
-            out = {"image": decoded}
-            if cfg.invert_audio:
-                from music_style_transfer_ldm_tpu.audio.mel import db_to_power
-                from music_style_transfer_ldm_tpu.audio.quantize import (
-                    unit_image_to_db,
-                )
-                from music_style_transfer_ldm_tpu.audio.griffinlim import (
-                    mel_to_audio,
-                )
-                db = unit_image_to_db(decoded[:, :, :, 0])
-                sr = self.ap.target_sr
-                out["audio"] = mel_to_audio(
-                    db_to_power(db), sr=sr, n_fft=self.ap.n_fft,
-                    hop_length=self.ap.hop_length,
-                    n_iter=cfg.griffin_lim_iters,
-                    nnls_iters=cfg.nnls_iters,
-                    length=int(3 * sr))
-            return out
+            return self._finish_outputs(decoded)
+
+        return jax.jit(fn)
+
+    def _finish_outputs(self, decoded):
+        """Shared tail of every inference program: package the decoded
+        [B, S, S, 1] images and (optionally) invert them to audio on
+        device (NNLS + Griffin-Lim) — used by both the transfer and the
+        generation programs."""
+        cfg = self.config
+        out = {"image": decoded}
+        if cfg.invert_audio:
+            from music_style_transfer_ldm_tpu.audio.griffinlim import (
+                mel_to_audio,
+            )
+            from music_style_transfer_ldm_tpu.audio.mel import db_to_power
+            from music_style_transfer_ldm_tpu.audio.quantize import (
+                unit_image_to_db,
+            )
+            db = unit_image_to_db(decoded[:, :, :, 0])
+            sr = self.ap.target_sr
+            out["audio"] = mel_to_audio(
+                db_to_power(db), sr=sr, n_fft=self.ap.n_fft,
+                hop_length=self.ap.hop_length,
+                n_iter=cfg.griffin_lim_iters,
+                nnls_iters=cfg.nnls_iters,
+                length=int(3 * sr))
+        return out
+
+    def _build_generate(self):
+        from music_style_transfer_ldm_tpu.models.ldm import (
+            match_moments, style_ddim_sample,
+        )
+        cfg = self.config
+        sampler = ("ddim" if cfg.sampler in ("fused", "fused-dpm++")
+                   else cfg.sampler)
+        steps = (cfg.generate_steps if cfg.generate_steps is not None
+                 else cfg.steps)
+
+        def fn(style, key):
+            lat = cfg.image_size // 8
+            z_shape = (style.shape[0], lat, lat, self.model.latent_dim)
+            decoded, _ = style_ddim_sample(
+                self.model, self.variables, key, z_shape, style,
+                timesteps=steps, eta=cfg.eta, sampler=sampler,
+                guidance=cfg.generate_guidance)
+            if cfg.match_level:
+                decoded = match_moments(decoded, style)
+            return self._finish_outputs(decoded)
 
         return jax.jit(fn)
 
@@ -271,6 +313,25 @@ class InferenceEngine:
             *self._place(jnp.asarray(content), jnp.asarray(style), keys))
         self._stats["batches"] += 1
         return {k: np.asarray(v)[:b] for k, v in out.items()}
+
+    def generate(self, style: np.ndarray, seed: int = 0) -> dict:
+        """[B, S, S, 1] style images -> style-conditioned GENERATION from
+        noise: {'image': [B, S, S, 1], 'audio': [B, T]?}.
+
+        Synchronous and serialized behind a lock (no microbatching):
+        generation is expected to be sparse next to transfer traffic, and
+        its program compiles lazily on first call.  Deterministic in
+        (seed, batch shape)."""
+        u = np.uint64(np.int64(seed))
+        lo = jnp.int32(int(u & np.uint64(0x7FFFFFFF)))
+        hi = jnp.int32(int((u >> np.uint64(31)) & np.uint64(0x7FFFFFFF)))
+        key = jax.random.fold_in(jax.random.PRNGKey(lo), hi)
+        with self._gen_lock:
+            if self._generate_fn is None:
+                self._generate_fn = self._build_generate()
+            (placed,) = self._place(jnp.asarray(style, jnp.float32))
+            out = self._generate_fn(placed, key)
+        return {k: np.asarray(v) for k, v in out.items()}
 
     # ---------------- async microbatching API --------------------------------
 

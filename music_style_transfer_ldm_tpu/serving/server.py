@@ -9,7 +9,12 @@ Endpoints (JSON in/out; binary payloads base64):
                                "style_png_b64" | "style_wav_b64",
                                "seed": 0}
                             <- {"image_png_b64", "audio_wav_b64"}
-  POST /v1/models/<name>/transfer -> same, routed to that model
+  POST /v1/generate        -> {"style_png_b64" | "style_wav_b64",
+                               "seed": 0}  (generation from noise;
+                               synchronous, EngineConfig.generate_steps /
+                               generate_guidance control the grid)
+                            <- {"image_png_b64", "audio_wav_b64"}
+  POST /v1/models/<name>/{transfer|generate} -> same, routed to that model
 
 Hardening: optional bearer-token auth (401), request size limit (413),
 per-request timeout (504), queue-depth load shedding (429 + Retry-After).
@@ -129,19 +134,21 @@ def make_handler(engine, max_request_bytes: int = MAX_REQUEST_BYTES,
             else:
                 self._json(404, {"error": "not found"})
 
-        def _route(self) -> str | None:
-            """/v1/transfer -> default model; /v1/models/<name>/transfer ->
-            that model; None when the path doesn't match."""
-            if self.path == "/v1/transfer":
-                return default_name
+        def _route(self):
+            """-> (model_name, op) for /v1/{transfer|generate} (default
+            model) and /v1/models/<name>/{transfer|generate}; None when
+            the path doesn't match."""
+            if self.path in ("/v1/transfer", "/v1/generate"):
+                return default_name, self.path.rsplit("/", 1)[1]
             parts = self.path.strip("/").split("/")
             if (len(parts) == 4 and parts[:2] == ["v1", "models"]
-                    and parts[3] == "transfer"):
-                return parts[2]
+                    and parts[3] in ("transfer", "generate")):
+                return parts[2], parts[3]
             return None
 
         def do_POST(self):
-            name = self._route()
+            route = self._route()
+            name, op = route if route else (None, None)
             if name is None:
                 self._json(404, {"error": "not found"})
                 return
@@ -177,19 +184,27 @@ def make_handler(engine, max_request_bytes: int = MAX_REQUEST_BYTES,
                                               f"exceeds {max_request_bytes}"})
                     return
                 req = json.loads(self.rfile.read(length) or b"{}")
-                content = self._decode_input(engine, req, "content")
                 style = self._decode_input(engine, req, "style")
-                done = engine.submit(content, style,
-                                     seed=int(req.get("seed", 0)))
-                import queue as _q
-                try:
-                    out = done.get(timeout=request_timeout_s)
-                except _q.Empty:
-                    self._json(504, {"error": "request timed out after "
-                                              f"{request_timeout_s:.0f}s"})
-                    return
-                if isinstance(out, Exception):
-                    raise out
+                if op == "generate":
+                    # Synchronous generation-from-noise (engine.generate:
+                    # lazy-compiled, lock-serialized; first call pays the
+                    # compile).
+                    batch = engine.generate(style[None],
+                                            seed=int(req.get("seed", 0)))
+                    out = {k: v[0] for k, v in batch.items()}
+                else:
+                    content = self._decode_input(engine, req, "content")
+                    done = engine.submit(content, style,
+                                         seed=int(req.get("seed", 0)))
+                    import queue as _q
+                    try:
+                        out = done.get(timeout=request_timeout_s)
+                    except _q.Empty:
+                        self._json(504, {"error": "request timed out after "
+                                                  f"{request_timeout_s:.0f}s"})
+                        return
+                    if isinstance(out, Exception):
+                        raise out
                 resp = {"image_png_b64": _image_to_png_b64(out["image"])}
                 if "audio" in out:
                     resp["audio_wav_b64"] = _audio_to_wav_b64(

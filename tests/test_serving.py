@@ -525,3 +525,83 @@ def test_engine_fused_bucket_max_config_and_chip(rng):
     out_v6e = v6e_eng.transfer_batch(content, style, seeds=[3, 4])
     out_ddim = ddim_eng.transfer_batch(content, style, seeds=[3, 4])
     np.testing.assert_array_equal(out_v6e["image"], out_ddim["image"])
+
+
+def test_engine_generate_shapes_and_determinism(engine, rng):
+    """Synchronous generation-from-noise API: correct shapes, finite
+    audio, deterministic in seed, different across seeds."""
+    style = rng.rand(2, 128, 128, 1).astype(np.float32)
+    out = engine.generate(style, seed=5)
+    assert out["image"].shape == (2, 128, 128, 1)
+    assert out["audio"].shape == (2, 3 * 22050)
+    assert np.isfinite(out["image"]).all()
+    assert 0.0 <= out["image"].min() and out["image"].max() <= 1.0
+    again = engine.generate(style, seed=5)
+    np.testing.assert_array_equal(out["image"], again["image"])
+    other = engine.generate(style, seed=6)
+    assert np.abs(out["image"] - other["image"]).max() > 1e-6
+
+
+def test_http_generate_route(engine, rng):
+    """POST /v1/generate: style-only request -> generated image + audio;
+    /v1/models/default/generate routes the same; transfer still works on
+    the same server."""
+    import urllib.error
+    httpd = serve(engine, host="127.0.0.1", port=0, block=False)
+    port = httpd.server_address[1]
+    try:
+        from PIL import Image
+        img = (rng.rand(128, 130) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img, mode="L").save(buf, format="PNG")
+        style_b64 = base64.b64encode(buf.getvalue()).decode()
+
+        for path in ("/v1/generate", "/v1/models/default/generate"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps({"style_png_b64": style_b64,
+                                 "seed": 3}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                resp = json.loads(r.read())
+            assert "image_png_b64" in resp and "audio_wav_b64" in resp
+            out_img = Image.open(io.BytesIO(
+                base64.b64decode(resp["image_png_b64"])))
+            assert out_img.size == (128, 128)
+
+        # Missing style field is a 400, not a 500.
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/generate",
+            data=json.dumps({"seed": 1}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+
+
+def test_engine_config_generate_grid(rng):
+    """generate_steps/generate_guidance are honored independently of the
+    transfer grid (a generation-distilled student serves its own grid)."""
+    model = LDM(latent_dim=32, num_timesteps=20)
+    x = jnp.zeros((1, 128, 128, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "diffusion": jax.random.PRNGKey(1)},
+        x, x, jnp.zeros((1,), jnp.int32))
+    cfg = EngineConfig(steps=4, batch_buckets=(1,), invert_audio=False,
+                       generate_steps=3, generate_guidance=2.0)
+    eng = InferenceEngine(model, variables, cfg)
+    style = rng.rand(1, 128, 128, 1).astype(np.float32)
+    out = eng.generate(style, seed=0)
+    assert out["image"].shape == (1, 128, 128, 1)
+    assert "audio" not in out
+    # Different generate grid/guidance => different samples.
+    cfg2 = EngineConfig(steps=4, batch_buckets=(1,), invert_audio=False,
+                        generate_steps=3, generate_guidance=1.0)
+    eng2 = InferenceEngine(model, variables, cfg2)
+    out2 = eng2.generate(style, seed=0)
+    assert np.abs(out["image"] - out2["image"]).max() > 1e-6
