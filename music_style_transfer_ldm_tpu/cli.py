@@ -497,7 +497,8 @@ def _save_outputs(img01: np.ndarray, output: str, ap,
     print(f"wrote {out.with_suffix('.png')} and {out.with_suffix('.wav')}")
 
 
-def _serve_engine_config(ecfg, args, path, name):
+def _serve_engine_config(ecfg, args, path, name,
+                         num_timesteps: int = 200):
     """Per-model EngineConfig: a progressively distilled student only ever
     trained on its own coarse grid (training/distill.py metadata), so
     serving adopts that grid unless the user pinned --sample-steps — in
@@ -512,12 +513,20 @@ def _serve_engine_config(ecfg, args, path, name):
         return ecfg
     want_steps = int(meta.get("t_max", args.steps))
     want_sample = int(meta.get("steps", 0)) + 1
+    # A FULL-schedule (generation) cascade's grid also applies to the
+    # /v1/generate route; adopt it there unless the user pinned one.
+    gen_kw = {}
+    if (getattr(args, "generate_steps", None) is None
+            and want_steps == num_timesteps):  # full-schedule cascade
+        gen_kw = {"generate_steps": want_sample}
     if args.sample_steps is None:
         print(f"{name}: distilled checkpoint (stages {meta.get('stages')}):"
               f" serving on its trained grid steps={want_steps} "
-              f"sample_steps={want_sample}", flush=True)
+              f"sample_steps={want_sample}"
+              + (f" (generate route: {want_sample})" if gen_kw else ""),
+              flush=True)
         return dataclasses.replace(ecfg, steps=want_steps,
-                                   sample_steps=want_sample)
+                                   sample_steps=want_sample, **gen_kw)
     if int(args.steps) != want_steps or int(args.sample_steps) != want_sample:
         print(f"WARNING: {name}: checkpoint was distilled for --steps "
               f"{want_steps} --sample-steps {want_sample}, but serving with "
@@ -556,7 +565,8 @@ def cmd_serve(args) -> int:
                         f"model{len(engines)}")
         model, variables = _restore_ldm(
             cfg, path, use_ema=not getattr(args, "raw_weights", False))
-        m_ecfg = _serve_engine_config(ecfg, args, path, name)
+        m_ecfg = _serve_engine_config(
+            ecfg, args, path, name, cfg.diffusion.num_timesteps)
         engines[name] = InferenceEngine(model, variables, m_ecfg, mesh=mesh)
     print(f"warming {len(args.buckets)} batch buckets x "
           f"{len(engines)} model(s)...", flush=True)
