@@ -203,3 +203,35 @@ def test_sequence_parallel_trainer_epoch_places_width_sharded(rng):
               (rng.rand(2, 64, 256, 1).astype(np.float32), 1))]
     state, avgs = trainer.train_epoch(state, batch, 0, jax.random.PRNGKey(0))
     assert np.isfinite(avgs["total_loss"])
+
+
+def test_sequence_parallel_wide_clip_forward(rng):
+    """The sp use case at real width: a 128x1024 spectrogram (a ~24 s
+    clip as ONE window, 8x the training width) runs the full
+    encode -> UNet -> decode stack with the time axis sharded over
+    'model' and matches the replicated forward."""
+    from music_style_transfer_ldm_tpu.models.ldm import LDM
+
+    mesh = make_mesh((2, 4))
+    model = LDM(latent_dim=32, num_timesteps=20)
+    x = jnp.asarray(rng.rand(2, 128, 1024, 1).astype(np.float32))
+    style = jnp.asarray(rng.rand(2, 128, 1024, 1).astype(np.float32))
+    t = jnp.zeros((2,), jnp.int32)
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "diffusion": jax.random.PRNGKey(1)}, x[:, :, :128],
+                   style[:, :, :128], t)
+
+    def fwd(xx, ss):
+        out = model.apply(v, xx, ss, t,
+                          rngs={"diffusion": jax.random.PRNGKey(2)})
+        return out["noise_pred"], out["reconstructed"]
+
+    xs = shard_batch(x, mesh, sequence_parallel=True)
+    st = shard_batch(style, mesh, sequence_parallel=True)
+    np_sh, rec_sh = jax.jit(fwd)(xs, st)
+    assert rec_sh.shape == (2, 128, 1024, 1)
+    np_rep, rec_rep = jax.jit(fwd)(x, style)
+    np.testing.assert_allclose(np.asarray(rec_sh), np.asarray(rec_rep),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(np_sh), np.asarray(np_rep),
+                               rtol=1e-4, atol=2e-5)
